@@ -1,0 +1,284 @@
+"""Chains -> mapping regions: coordinates, primary/secondary assignment,
+secondary pruning, MAPQ.  Host-side port of the reference's hit.c (arrays are
+tiny per read — a handful of chains — so this is deliberately scalar).
+
+  * gen_regs       (reference: mm_gen_regs, hit.c:100-150)
+  * set_parent     (reference: mm_set_parent, hit.c:195-263)
+  * select_sub     (reference: mm_select_sub, hit.c:338-367)
+  * set_mapq       (reference: mm_set_mapq, hit.c:502-539)
+  * Wang 32-bit hash (reference: khash.h __ac_Wang_hash) and the 64-bit
+    tiebreak hash (reference: hit.c:73-83)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+RI_HASH_SHIFT = 6
+RI_ID_SHIFT = 32
+SPAN_MASK = (1 << RI_HASH_SHIFT) - 1
+PARENT_UNSET = -1
+PARENT_TMP_PRI = -2
+M64 = (1 << 64) - 1
+
+
+def wang_hash32(key: int) -> int:
+    """reference: __ac_Wang_hash (khash.h)."""
+    key = key & 0xFFFFFFFF
+    key += ~(key << 15) & 0xFFFFFFFF
+    key &= 0xFFFFFFFF
+    key ^= key >> 10
+    key += (key << 3) & 0xFFFFFFFF
+    key &= 0xFFFFFFFF
+    key ^= key >> 6
+    key += ~(key << 11) & 0xFFFFFFFF
+    key &= 0xFFFFFFFF
+    key ^= key >> 16
+    return key & 0xFFFFFFFF
+
+
+def hash64(key: int) -> int:
+    """64-bit mixing hash (reference: hit.c:73-83, no mask)."""
+    key &= M64
+    key = (~key + (key << 21)) & M64
+    key = key ^ (key >> 24)
+    key = (key + (key << 3) + (key << 8)) & M64
+    key = key ^ (key >> 14)
+    key = (key + (key << 2) + (key << 4)) & M64
+    key = key ^ (key >> 28)
+    key = (key + (key << 31)) & M64
+    return key
+
+
+@dataclasses.dataclass
+class Region:
+    """One candidate mapping (reference: mm_reg1_t, chain.h:27-45)."""
+
+    id: int = 0
+    parent: int = PARENT_UNSET
+    score: int = 0
+    score0: int = 0
+    hash: int = 0
+    cnt: int = 0
+    as_: int = 0  # start index into the chain-anchor array
+    rev: int = 0
+    rid: int = 0
+    rs: int = 0
+    re: int = 0
+    qs: int = 0
+    qe: int = 0
+    mlen: int = 0
+    blen: int = 0
+    n_sub: int = 0
+    subsc: int = 0
+    mapq: int = 0
+    inv: int = 0
+    is_alt: int = 0
+    strand_retained: int = 0
+    alignment_score: float = 0.0
+
+
+def _set_coor(r: Region, ax: np.ndarray, ay: np.ndarray) -> None:
+    """reference: mm_reg_set_coor + mm_cal_fuzzy_len, hit.c:10-64."""
+    k = r.as_
+    x0 = int(ax[k])
+    r.rev = x0 >> 63
+    r.rid = (x0 << 1 >> 33) & 0x7FFFFFFF
+    r.rs = x0 & 0xFFFFFFFF
+    r.re = (int(ax[k + r.cnt - 1]) & 0xFFFFFFFF) + 1
+    r.qs = int(ay[k]) & 0xFFFFFFFF
+    r.qe = (int(ay[k + r.cnt - 1]) & 0xFFFFFFFF) + 1
+    # fuzzy match/block lengths
+    r.mlen = r.blen = (int(ay[k]) >> RI_ID_SHIFT) & SPAN_MASK
+    for i in range(k + 1, k + r.cnt):
+        span = (int(ay[i]) >> RI_ID_SHIFT) & SPAN_MASK
+        tl = (int(ax[i]) & 0xFFFFFFFF) - (int(ax[i - 1]) & 0xFFFFFFFF)
+        ql = (int(ay[i]) & 0xFFFFFFFF) - (int(ay[i - 1]) & 0xFFFFFFFF)
+        r.blen += max(tl, ql)
+        r.mlen += span if (tl > span and ql > span) else min(tl, ql)
+        r.mlen += min(tl, ql)
+
+
+def gen_regs(read_hash: int, n_u: int, u: np.ndarray, ax: np.ndarray, ay: np.ndarray):
+    """Chains -> regions sorted by score with hashed tiebreak
+    (reference: mm_gen_regs, hit.c:100-150).
+
+    u: [(score, cnt)] in target-position order, matching (ax, ay)."""
+    if n_u == 0:
+        return []
+    z = []
+    k = 0
+    for i in range(n_u):
+        h = hash64((hash64(int(ax[k])) + hash64(int(ay[k]))) ^ read_hash) & 0xFFFFFFFF
+        uval = ((int(u[i, 0]) << 32) | int(u[i, 1])) & M64
+        z.append((uval ^ h, (k << 32) | int(u[i, 1])))
+        k += int(u[i, 1])
+    z.sort(key=lambda t: t[0], reverse=True)
+    regs = []
+    for i, (zx, zy) in enumerate(z):
+        r = Region(
+            id=i,
+            parent=PARENT_UNSET,
+            score=zx >> 32,
+            score0=zx >> 32,
+            hash=zx & 0xFFFFFFFF,
+            cnt=zy & 0xFFFFFFFF,
+            as_=zy >> 32,
+        )
+        _set_coor(r, ax, ay)
+        regs.append(r)
+    return regs
+
+
+def set_parent(regs, mask_level: float, mask_len: int, hard_mask_level: bool,
+               alt_diff_frac: float) -> None:
+    """Primary/secondary assignment by query-interval overlap
+    (reference: mm_set_parent, hit.c:195-263)."""
+    n = len(regs)
+    if n <= 0:
+        return
+    for i, r in enumerate(regs):
+        r.id = i
+    w = [0]
+    regs[0].parent = 0
+    k = 1
+    for i in range(1, n):
+        ri = regs[i]
+        si, ei = ri.qs, ri.qe
+        uncov_len = 0
+        if not hard_mask_level:
+            cov = []
+            for j in range(k):
+                rp = regs[w[j]]
+                sj, ej = rp.qs, rp.qe
+                if ej <= si or sj >= ei:
+                    continue
+                cov.append((max(sj, si), min(ej, ei)))
+            if cov:
+                cov.sort()
+                x = si
+                for sj, ej in cov:
+                    if sj > x:
+                        uncov_len += sj - x
+                    x = max(ej, x)
+                if ei > x:
+                    uncov_len += ei - x
+            else:
+                w.append(i)
+                ri.parent = i
+                ri.n_sub = 0
+                k += 1
+                continue
+        placed = False
+        for j in range(k):
+            rp = regs[w[j]]
+            sj, ej = rp.qs, rp.qe
+            if ej <= si or sj >= ei:
+                continue
+            mn = min(ej - sj, ei - si)
+            mx = max(ej - sj, ei - si)
+            if si < sj:
+                ol = 0 if ei < sj else (ei - sj if ei < ej else ej - sj)
+            else:
+                ol = 0 if ej < si else (ej - si if ej < ei else ei - si)
+            if (ol / mn - uncov_len / mx) > mask_level and uncov_len <= mask_len:
+                sci = ri.score
+                ri.parent = rp.parent
+                if (not rp.is_alt) and ri.is_alt:
+                    sci = _alt_score(sci, alt_diff_frac)
+                rp.subsc = max(rp.subsc, sci)
+                if ri.cnt >= rp.cnt:
+                    rp.n_sub += 1
+                placed = True
+                break
+        if not placed:
+            w.append(i)
+            ri.parent = i
+            ri.n_sub = 0
+            k += 1
+
+
+def _alt_score(score: int, alt_diff_frac: float) -> int:
+    if score < 0:
+        return score
+    score = int(score * (1.0 - alt_diff_frac) + 0.499)
+    return score if score > 0 else 1
+
+
+def select_sub(regs, pri_ratio: float, best_n: int, check_strand: bool,
+               min_strand_sc: int):
+    """Prune secondaries (reference: mm_select_sub, hit.c:338-367).
+    Returns the pruned list (parents re-synced)."""
+    if pri_ratio <= 0.0 or len(regs) <= 0:
+        return regs
+    out = []
+    n_2nd = 0
+    for i, r in enumerate(regs):
+        p = r.parent
+        if p == i or r.inv:
+            out.append(r)
+        elif r.score >= regs[p].score * pri_ratio and n_2nd < best_n:
+            rp = regs[p]
+            if not (
+                r.qs == rp.qs and r.qe == rp.qe and r.rid == rp.rid
+                and r.rs == rp.rs and r.re == rp.re
+            ):
+                out.append(r)
+                n_2nd += 1
+        elif (
+            check_strand and n_2nd < best_n and r.score > min_strand_sc
+            and r.rev != regs[p].rev
+        ):
+            r.strand_retained = 1
+            out.append(r)
+            n_2nd += 1
+    if len(out) != len(regs):
+        _sync_regs(out)
+    return out
+
+
+def _sync_regs(regs) -> None:
+    """reference: mm_sync_regs, hit.c:312-336."""
+    if not regs:
+        return
+    tmp = {}
+    for i, r in enumerate(regs):
+        if r.id >= 0:
+            tmp[r.id] = i
+    for i, r in enumerate(regs):
+        old_parent = r.parent
+        r.id = i
+        if old_parent == PARENT_TMP_PRI:
+            r.parent = i
+        elif old_parent >= 0 and old_parent in tmp:
+            r.parent = tmp[old_parent]
+        else:
+            r.parent = PARENT_UNSET
+
+
+def set_mapq(regs, min_chain_sc: int, rep_len: int, is_dtw: bool) -> None:
+    """MAPQ from score ratios, anchor counts and repeat fraction
+    (reference: mm_set_mapq, hit.c:502-539)."""
+    if not regs:
+        return
+    q_coef = 40.0
+    sum_sc = sum(r.score for r in regs if r.parent == r.id)
+    uniq_ratio = sum_sc / (sum_sc + rep_len) if (sum_sc + rep_len) > 0 else 0.0
+    for r in regs:
+        pen_s1 = (1.0 if r.score > 100 else 0.01 * r.score) * uniq_ratio
+        pen_cm = 1.0 if r.cnt > 10 else 0.1 * r.cnt
+        pen_cm = min(pen_s1, pen_cm)
+        subsc = max(r.subsc, min_chain_sc)
+        x = subsc / r.score0 if r.score0 else 0.0
+        mapq = 0
+        if is_dtw and r.alignment_score > 0:
+            mapq = int(pen_cm * q_coef * (1.0 - x) * 2 * math.log(r.alignment_score))
+        elif not is_dtw:
+            if r.score > 0:
+                mapq = int(pen_cm * q_coef * (1.0 - x) * math.log(r.score))
+        mapq -= int(4.343 * math.log(r.n_sub + 1) + 0.499)
+        mapq = max(mapq, 0)
+        r.mapq = min(mapq, 60)
