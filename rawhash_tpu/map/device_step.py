@@ -1,0 +1,181 @@
+"""The fused per-chunk device step: raw signal -> chained anchor scores.
+
+One jitted XLA program per chunk batch runs the whole device-side pipeline
+(reference equivalent: the body of ri_map_frag, rmap.cpp:210-387):
+
+    detect events -> sketch -> index lookup -> occurrence filter + rep_len ->
+    CSR hit expansion -> (all-vs-all name-rank filter) -> merge carried
+    anchors -> lexicographic sort -> chaining DP fill
+
+Host code (map/engine.py) then backtracks chains and makes mapping decisions
+on the tiny per-read outputs.  All shapes are static; per-read validity runs
+in masks and counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..chain.device import chain_fill_batch
+from ..index.device import DeviceIndex, expand_hits, lookup_counts
+from ..signal.events import NormCarry, dense_compact, detect_events_batch
+from ..sketch.device import sketch_batch
+
+U32_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+class ChunkOut(NamedTuple):
+    key: jnp.ndarray  # u32 [B, N] sorted anchors (sentinel U32_MAX pad)
+    tpos: jnp.ndarray  # i32 [B, N]
+    qpos: jnp.ndarray  # i32 [B, N]
+    n_anchors: jnp.ndarray  # i32 [B]
+    f: jnp.ndarray  # i32 [B, N]
+    p: jnp.ndarray  # i32 [B, N]
+    rep_len: jnp.ndarray  # i32 [B]
+    n_events: jnp.ndarray  # i32 [B]
+    processed: jnp.ndarray  # bool [B] (n_events >= min_events)
+    events: jnp.ndarray  # f32 [B, E] this chunk's events (for DTW)
+    hit_overflow: jnp.ndarray  # i32 [B] dropped hits (a_cap saturation)
+    carry: NormCarry
+    ev_offset: jnp.ndarray  # i32 [B] updated event offset
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "diff", "w", "e", "q", "k",
+        "fine_min", "fine_max", "fine_range",
+        "window_length1", "window_length2",
+        "threshold1", "threshold2", "peak_height",
+        "e_cap", "a_cap",
+        "min_events", "mid_occ",
+        "max_dist_t", "max_dist_q", "bw", "max_iter",
+        "chn_pen_gap", "chn_pen_skip",
+        "all_vs_all",
+    ),
+)
+def chunk_step(
+    didx: DeviceIndex,
+    sig: jnp.ndarray,  # f32 [B, L]
+    slen: jnp.ndarray,  # i32 [B]
+    carry: NormCarry,
+    ev_offset: jnp.ndarray,  # i32 [B]
+    prev_key: jnp.ndarray,  # u32 [B, P] carried anchors from earlier chunks
+    prev_tpos: jnp.ndarray,  # i32 [B, P]
+    prev_qpos: jnp.ndarray,  # i32 [B, P]
+    n_prev: jnp.ndarray,  # i32 [B]
+    q_rank: jnp.ndarray,  # i32 [B] query name rank (all-vs-all only)
+    target_rank: jnp.ndarray,  # i32 [n_seq] target name ranks (ava only)
+    *,
+    # sketch/index params (from the index build)
+    diff: float, w: int, e: int, q: int, k: int,
+    fine_min: float, fine_max: float, fine_range: float,
+    # event detector params
+    window_length1: int, window_length2: int,
+    threshold1: float, threshold2: float, peak_height: float,
+    # capacities
+    e_cap: int, a_cap: int,
+    # mapping params
+    min_events: int, mid_occ: int,
+    max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    all_vs_all: bool,
+) -> ChunkOut:
+    b, l = sig.shape
+    span = k + e - 1
+
+    # --- events (reference: detect_events, revent.c:257) ---
+    events, n_ev, carry2 = detect_events_batch(
+        sig, slen, carry,
+        window_length1=window_length1, window_length2=window_length2,
+        threshold1=threshold1, threshold2=threshold2, peak_height=peak_height,
+        e_cap=e_cap,
+    )
+    processed = n_ev >= min_events  # reference: rmap.cpp:232
+    ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
+
+    # --- sketch (reference: ri_sketch, rsketch.c:271) ---
+    hashes, qpos_seed, seed_valid = sketch_batch(
+        events, n_ev,
+        diff=diff, w=w, e=e, q=q, k=k,
+        fine_min=fine_min, fine_max=fine_max, fine_range=fine_range,
+    )
+    seed_valid = seed_valid & processed[:, None]
+
+    # --- seed lookup + occurrence filter (reference: ri_collect_matches) ---
+    start, count = lookup_counts(didx, hashes, seed_valid)
+    flt = count > mid_occ
+    # rep_len: union length of the q-intervals of filtered seeds
+    # (reference: rseed.c:134-151)
+    st_i = qpos_seed + 1
+    en_i = st_i + span + 1
+    en_m = jnp.where(flt, en_i, 0)
+    cummax_en = jax.lax.cummax(en_m, axis=1)
+    excl = jnp.concatenate(
+        [jnp.zeros((b, 1), en_m.dtype), cummax_en[:, :-1]], axis=1
+    )
+    contrib = jnp.maximum(en_i - jnp.maximum(st_i, excl), 0)
+    rep_len = jnp.sum(jnp.where(flt, contrib, 0), axis=1).astype(jnp.int32)
+    count = jnp.where(flt, 0, count)
+
+    # --- expansion to anchors (reference: collect_seed_hits, rmap.cpp:51) ---
+    seed_c, hit_id, hit_ps, slot_valid, n_hits, overflow = expand_hits(
+        didx, start, count, a_cap
+    )
+    a_qpos = jnp.take_along_axis(qpos_seed, seed_c, axis=1) + ev_offset[:, None]
+    a_key = ((hit_ps & 1) << 31) | hit_id
+    a_tpos = ((hit_ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    keep = slot_valid
+    if all_vs_all:
+        # skip targets whose name sorts <= the query's name
+        # (reference: rmap.cpp:86 strcmp(qname, ref_name) >= 0 -> skip)
+        tr = target_rank[jnp.clip(hit_id, 0, target_rank.shape[0] - 1).astype(jnp.int32)]
+        keep = keep & (tr > q_rank[:, None])
+        a_key, n_new = dense_compact(a_key, keep)
+        a_tpos, _ = dense_compact(a_tpos, keep)
+        a_qpos, _ = dense_compact(a_qpos, keep)
+    else:
+        n_new = n_hits.astype(jnp.int32)
+
+    # --- merge carried anchors, sort (reference: rmap.cpp:111-121) ---
+    p_cap = prev_key.shape[1]
+    pidx = jnp.arange(p_cap, dtype=jnp.int32)
+    prev_valid = pidx[None, :] < n_prev[:, None]
+    slots_new = jnp.arange(a_cap, dtype=jnp.int32)
+    new_valid = slots_new[None, :] < n_new[:, None]
+
+    m_key = jnp.concatenate(
+        [jnp.where(new_valid, a_key, U32_MAX), jnp.where(prev_valid, prev_key, U32_MAX)],
+        axis=1,
+    )
+    m_tpos = jnp.concatenate(
+        [jnp.where(new_valid, a_tpos, jnp.int32(0x7FFFFFFF)),
+         jnp.where(prev_valid, prev_tpos, jnp.int32(0x7FFFFFFF))],
+        axis=1,
+    )
+    m_qpos = jnp.concatenate([a_qpos, prev_qpos], axis=1).astype(jnp.int32)
+    n_anchors = n_new + n_prev
+
+    s_key, s_tpos, s_qpos = jax.lax.sort(
+        (m_key, m_tpos, m_qpos), dimension=1, num_keys=2, is_stable=True
+    )
+
+    # --- chaining DP fill (reference: mg_lchain_dp, lchain.c:385) ---
+    f, p = chain_fill_batch(
+        s_key, s_tpos, s_qpos, n_anchors,
+        q_span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
+        bw=bw, max_iter=max_iter,
+        chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+    )
+
+    return ChunkOut(
+        key=s_key, tpos=s_tpos, qpos=s_qpos, n_anchors=n_anchors,
+        f=f, p=p, rep_len=rep_len, n_events=n_ev, processed=processed,
+        events=events, hit_overflow=overflow, carry=carry2,
+        ev_offset=ev_offset2,
+    )

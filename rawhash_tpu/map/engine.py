@@ -1,0 +1,422 @@
+"""Real-time mapping engine: batch chunk loop + decision logic + PAF records.
+
+Host orchestrator around the fused device chunk step (map/device_step.py).
+Per batch of reads it keeps the per-read carry state (normalization sums,
+event offset, carried chain anchors), invokes one XLA program per chunk, and
+runs the tiny sequential tail per read on the host: chain backtracking,
+region/primary/MAPQ logic and the mapping decision
+(reference: map_worker_for, rmap.cpp:389-599).
+
+Reads exit the loop as soon as a decision fires (adaptive sampling /
+Read Until), exactly like the reference's per-chunk break."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from ..chain.host import chain_backtrack, compact_chains
+from ..chain.regions import gen_regs, select_sub, set_mapq, set_parent, wang_hash32
+from ..config import IndexFlag, MapFlag, MapOptions
+from ..index.build import RawIndex, update_mid_occ
+from ..index.device import DeviceIndex
+from ..signal.events import NormCarry
+from .device_step import chunk_step
+
+RI_ID_SHIFT = 32
+
+
+@dataclasses.dataclass
+class MapRecord:
+    """One output mapping (reference: ri_map_t, rmap.h)."""
+
+    read_length: int = 0
+    ref_id: int = 0
+    read_start: int = 0
+    read_end: int = 0
+    frag_start: int = 0
+    frag_len: int = 0
+    mapq: int = 0
+    rev: int = 0
+    mapped: int = 0
+    tags: str = ""
+
+
+@dataclasses.dataclass
+class ReadResult:
+    name: str
+    records: list  # list[MapRecord]
+
+
+def _pack_xy(key: np.ndarray, tpos: np.ndarray, qpos: np.ndarray, span: int):
+    """Planes -> reference 128-bit anchor packing for the host-side chain
+    tail (x = rev<<63|tid<<32|tpos, y = span<<32|qpos)."""
+    key = key.astype(np.uint64)
+    rev = key >> np.uint64(31)
+    tid = key & np.uint64(0x7FFFFFFF)
+    ax = (rev << np.uint64(63)) | (tid << np.uint64(32)) | tpos.astype(np.uint64)
+    ay = (np.uint64(span) << np.uint64(32)) | qpos.astype(np.uint64)
+    return ax, ay
+
+
+def _unpack_xy(ax: np.ndarray, ay: np.ndarray):
+    rev = (ax >> np.uint64(63)).astype(np.uint32)
+    tid = ((ax >> np.uint64(32)) & np.uint64(0x7FFFFFFF)).astype(np.uint32)
+    key = (rev << np.uint32(31)) | tid
+    tpos = (ax & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    qpos = (ay & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    return key, tpos, qpos
+
+
+class MappingEngine:
+    def __init__(self, index: RawIndex, mopt: MapOptions, device=None):
+        import jax.numpy as jnp
+
+        self.index = index
+        self.iopt = index.opts
+        self.mopt = mopt
+        update_mid_occ(mopt, index)
+        self.didx = DeviceIndex.from_host(index, device)
+        self.span = self.iopt.k + self.iopt.e - 1
+        # chain penalties (reference: rmap.cpp:318)
+        self.chn_pen_gap = float(
+            np.float32(mopt.chain_gap_scale) * np.float32(0.01) * np.float32(self.span)
+        )
+        self.chn_pen_skip = float(
+            np.float32(mopt.chain_skip_scale) * np.float32(0.01) * np.float32(self.span)
+        )
+        # all-vs-all name-rank table (reference compares names with strcmp,
+        # rmap.cpp:86; ranks in sorted-name order give the same predicate)
+        order = sorted(range(index.n_seq), key=lambda i: index.seq_names[i])
+        ranks = np.zeros(index.n_seq, dtype=np.int32)
+        for r, i in enumerate(order):
+            ranks[i] = r
+        self._target_rank = jnp.asarray(ranks if index.n_seq else np.zeros(1, np.int32))
+        self._sorted_names = [index.seq_names[i] for i in order]
+        self._jnp = jnp
+        self.stats = {"hit_overflow": 0, "prev_overflow": 0, "reads": 0, "mapped": 0}
+
+    # ---------- helpers ----------
+
+    def _q_rank(self, name: str) -> int:
+        """Rank r such that (target_rank > r) <=> target name > query name
+        (strcmp semantics of the reference's all-vs-all skip, rmap.cpp:86)."""
+        import bisect
+
+        return bisect.bisect_right(self._sorted_names, name) - 1
+
+    def _decide(self, regs, is_dtw: bool):
+        """Mapping decision for one read after a chunk
+        (reference: rmap.cpp:423-500). Returns (map_chain_ids, done)."""
+        mo = self.mopt
+        n_cregs = len(regs)
+        all_chains = bool(mo.flag & MapFlag.ALL_CHAINS)
+        if n_cregs == 1 and (
+            regs[0].mapq >= mo.min_mapq
+            or (is_dtw and regs[0].alignment_score >= mo.dtw_min_score)
+        ):
+            return [0], True
+        n_chains = n_cregs if (all_chains or n_cregs < 1) else 1
+        mean_c = mean_q = 0.0
+        if n_cregs > 0:
+            mean_c = sum(r.score for r in regs) / n_cregs
+            mean_q = sum(r.mapq for r in regs) / n_cregs
+        maps = []
+        ic = 0
+        while ic < n_chains:
+            best_q = float(regs[ic].mapq)
+            best_c = float(regs[ic].score)
+            weighted = 0.0
+            if not all_chains:
+                if is_dtw:
+                    best_a = regs[ic].alignment_score
+                    if n_chains == 1:
+                        best_ind = 0
+                        for i2 in range(1, n_cregs):
+                            if regs[i2].alignment_score > best_a:
+                                best_a = regs[i2].alignment_score
+                                best_ind = i2
+                        ic = best_ind
+                        best_q = float(regs[ic].mapq)
+                        best_c = float(regs[ic].score)
+                    if best_a >= mo.dtw_min_score:
+                        r_bestma = max(best_a / 50.0, 0.0) if best_a > 0 else 0.0
+                        r_bestmq = max(1.0 - mean_q / best_q, 0.0) if best_q > 0 else 0.0
+                        r_bestmc = max(1.0 - mean_c / best_c, 0.0) if best_c > 0 else 0.0
+                        weighted = (
+                            mo.w_bestma * r_bestma
+                            + mo.w_bestmq * r_bestmq
+                            + mo.w_bestmc * r_bestmc
+                        )
+                else:
+                    r_bestq = min(best_q / 30.0, 1.0) if best_q > 0 else 0.0
+                    r_bestmq = max(1.0 - mean_q / best_q, 0.0) if best_q > 0 else 0.0
+                    r_bestmc = max(1.0 - mean_c / best_c, 0.0) if best_c > 0 else 0.0
+                    weighted = (
+                        mo.w_bestq * r_bestq
+                        + mo.w_bestmq * r_bestmq
+                        + mo.w_bestmc * r_bestmc
+                    )
+            if weighted >= mo.w_threshold or (
+                all_chains and regs[ic].score >= mo.min_chaining_score2
+            ):
+                maps.append(ic)
+            ic += 1
+        return maps, len(maps) > 0
+
+    def _chunk_tail(self, key, tpos, qpos, n_anchors, f, p, ev_total):
+        """Host tail of one chunk for one read: backtrack -> regions -> MAPQ.
+        Returns (regs, chain_axy, prev_planes)."""
+        mo = self.mopt
+        n = int(n_anchors)
+        ax, ay = _pack_xy(key[:n], tpos[:n], qpos[:n], self.span)
+        u, v = chain_backtrack(
+            f[:n].astype(np.int32),
+            p[:n].astype(np.int64),
+            min_cnt=mo.min_num_anchors,
+            min_sc=mo.min_chaining_score,
+            max_drop=mo.bw,
+        )
+        u_s, bx, by, px, py = compact_chains(u, v, ax, ay)
+        # read hash (reference: rmap.cpp:346-348)
+        h = 0
+        h ^= (wang_hash32(ev_total) + wang_hash32(11)) & 0xFFFFFFFF
+        h = wang_hash32(h)
+        regs = gen_regs(h, u_s.shape[0], u_s, bx, by)
+        set_parent(
+            regs, mo.mask_level, mo.mask_len,
+            bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
+        )
+        if not (mo.flag & MapFlag.ALL_CHAINS):
+            regs = select_sub(
+                regs, mo.pri_ratio, mo.best_n, True,
+                int(mo.max_target_gap_length * 0.8),
+            )
+        return regs, (bx, by), (px, py)
+
+    # ---------- main entry ----------
+
+    def map_batch(self, reads: list) -> list:
+        """Map a batch of reads [(name, signal float32[pA])].
+
+        Returns [ReadResult] in input order."""
+        import jax.numpy as jnp
+
+        mo = self.mopt
+        io = self.iopt
+        is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
+        no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
+        b = len(reads)
+        names = [n for n, _ in reads]
+        sigs = [np.asarray(s, dtype=np.float32) for _, s in reads]
+        qlens = np.array([s.shape[0] for s in sigs], dtype=np.int64)
+
+        if no_adaptive:
+            l_chunk = int(max(1, qlens.max()))
+            # pad to a multiple of 4096 to bound recompilation
+            l_chunk = ((l_chunk + 4095) // 4096) * 4096
+            max_chunk = 1
+            e_cap = max(256, min(l_chunk // 3, 1 << 14))
+        else:
+            l_chunk = int(mo.chunk_size)
+            max_chunk = int(mo.max_num_chunk)
+            e_cap = mo.max_events_per_chunk
+        a_cap = mo.max_anchors_per_read // 2
+        p_cap = mo.max_anchors_per_read - a_cap
+
+        carry = NormCarry.zeros(b)
+        ev_offset = jnp.zeros(b, jnp.int32)
+        prev_key = np.full((b, p_cap), 0xFFFFFFFF, dtype=np.uint32)
+        prev_tpos = np.zeros((b, p_cap), dtype=np.int32)
+        prev_qpos = np.zeros((b, p_cap), dtype=np.int32)
+        n_prev = np.zeros(b, dtype=np.int32)
+        q_rank = np.array([self._q_rank(n) for n in names], dtype=np.int32)
+
+        active = np.ones(b, dtype=bool)
+        results = [None] * b
+        last_regs = [[] for _ in range(b)]
+        c_counts = np.zeros(b, dtype=np.int64)
+        map_ids = [None] * b
+        ev_totals = np.zeros(b, dtype=np.int64)
+        t_start = np.full(b, time.perf_counter())
+        t_decided = np.zeros(b, dtype=np.float64)
+        all_events = [[] for _ in range(b)] if is_dtw else None
+
+        for c in range(max_chunk):
+            if not active.any():
+                break
+            chunk = np.zeros((b, l_chunk), dtype=np.float32)
+            slen = np.zeros(b, dtype=np.int32)
+            for i in range(b):
+                if not active[i]:
+                    continue
+                if no_adaptive:
+                    seg = sigs[i][:l_chunk]
+                else:
+                    seg = sigs[i][c * l_chunk : (c + 1) * l_chunk]
+                chunk[i, : seg.shape[0]] = seg
+                slen[i] = seg.shape[0]
+
+            out = chunk_step(
+                self.didx,
+                jnp.asarray(chunk), jnp.asarray(slen), carry,
+                ev_offset,
+                jnp.asarray(prev_key), jnp.asarray(prev_tpos),
+                jnp.asarray(prev_qpos), jnp.asarray(n_prev),
+                jnp.asarray(q_rank), self._target_rank,
+                diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
+                fine_min=io.fine_min, fine_max=io.fine_max,
+                fine_range=io.fine_range,
+                window_length1=mo.window_length1,
+                window_length2=mo.window_length2,
+                threshold1=mo.threshold1, threshold2=mo.threshold2,
+                peak_height=mo.peak_height,
+                e_cap=e_cap, a_cap=a_cap,
+                min_events=mo.min_events, mid_occ=int(mo.mid_occ),
+                max_dist_t=mo.max_target_gap_length,
+                max_dist_q=mo.max_query_gap_length,
+                bw=mo.bw, max_iter=mo.max_chain_iter,
+                chn_pen_gap=self.chn_pen_gap, chn_pen_skip=self.chn_pen_skip,
+                all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+            )
+            carry = out.carry
+            ev_offset = out.ev_offset
+            h_key = np.asarray(out.key)
+            h_tpos = np.asarray(out.tpos)
+            h_qpos = np.asarray(out.qpos)
+            h_nanc = np.asarray(out.n_anchors)
+            h_f = np.asarray(out.f)
+            h_p = np.asarray(out.p)
+            h_rep = np.asarray(out.rep_len)
+            h_nev = np.asarray(out.n_events)
+            h_proc = np.asarray(out.processed)
+            h_evoff = np.asarray(out.ev_offset)
+            self.stats["hit_overflow"] += int(np.asarray(out.hit_overflow)[active].sum())
+            if is_dtw:
+                h_events = np.asarray(out.events)
+
+            now = time.perf_counter()
+            for i in range(b):
+                if not active[i]:
+                    continue
+                if slen[i] == 0:
+                    # read exhausted before a decision
+                    active[i] = False
+                    n_prev[i] = 0
+                    continue
+                c_counts[i] = c
+                if not h_proc[i]:
+                    last_regs[i] = []
+                    continue
+                if is_dtw:
+                    all_events[i].append(h_events[i, : h_nev[i]].copy())
+                ev_totals[i] = int(h_evoff[i])
+                regs, chain_axy, (px, py) = self._chunk_tail(
+                    h_key[i], h_tpos[i], h_qpos[i], h_nanc[i],
+                    h_f[i], h_p[i], int(h_evoff[i]),
+                )
+                if is_dtw and regs:
+                    self._dtw_evaluate(regs, chain_axy, np.concatenate(all_events[i]))
+                set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
+                last_regs[i] = regs
+                # carry chain anchors into the next chunk
+                npv = min(px.shape[0], p_cap)
+                if px.shape[0] > p_cap:
+                    self.stats["prev_overflow"] += px.shape[0] - p_cap
+                k2, t2, q2 = _unpack_xy(px[:npv], py[:npv])
+                prev_key[i, :npv] = k2
+                prev_tpos[i, :npv] = t2
+                prev_qpos[i, :npv] = q2
+                n_prev[i] = npv
+
+                ids, done = self._decide(regs, is_dtw)
+                if done:
+                    map_ids[i] = ids
+                    t_decided[i] = now
+                    active[i] = False
+                    n_prev[i] = 0
+
+        # finalize (reference: rmap.cpp:507-586)
+        out_results = []
+        now = time.perf_counter()
+        for i in range(b):
+            qlen = int(qlens[i])
+            if no_adaptive:
+                cc = 0
+            else:
+                cc = int(c_counts[i])
+            regs = last_regs[i]
+            ids = map_ids[i]
+            # last-chance accept (reference: rmap.cpp:515-519)
+            if ids is None and regs and regs[0].mapq > self.mopt.min_mapq:
+                ids = [0]
+                t_decided[i] = now
+            mt = ((t_decided[i] if ids is not None else now) - t_start[i]) * 1000.0
+            offset = int(ev_totals[i])
+            lc = qlen if (no_adaptive or qlen < l_chunk) else l_chunk
+            if offset == 0 or self.mopt.sample_per_base == 0:
+                scale = 0.0
+            else:
+                scale = ((cc + 1) * lc / offset) / self.mopt.sample_per_base
+            recs = []
+            sig_t = self.index.sig_target
+            if ids:
+                for ic in ids:
+                    r = regs[ic]
+                    tags = self._tags(mt, cc + 1, qlen, r.cnt, len(regs), r.score)
+                    if sig_t:
+                        frag_start = (
+                            int(self.index.seq_lens[r.rid]) + 1 - r.re if r.rev else r.rs
+                        )
+                        rl, rqs, rqe = offset, r.qs, r.qe
+                    else:
+                        frag_start = (
+                            int(self.index.seq_lens[r.rid]) + 1 - r.re if r.rev else r.rs
+                        )
+                        rl = int(scale * r.qe)
+                        rqs, rqe = int(scale * r.qs), int(scale * r.qe)
+                    recs.append(
+                        MapRecord(
+                            read_length=rl, ref_id=r.rid, read_start=rqs,
+                            read_end=rqe, frag_start=frag_start,
+                            frag_len=r.re - r.rs + 1, mapq=r.mapq,
+                            rev=r.rev, mapped=1, tags=tags,
+                        )
+                    )
+                self.stats["mapped"] += 1
+            else:
+                if regs:
+                    tags = self._tags(mt, cc + 1, qlen, regs[0].cnt, len(regs),
+                                      regs[0].score)
+                else:
+                    tags = self._tags(mt, cc + 1, qlen, 0, 0, 0)
+                rl = offset if sig_t else int(scale * offset)
+                recs.append(MapRecord(read_length=rl, mapped=0, tags=tags))
+            self.stats["reads"] += 1
+            out_results.append(ReadResult(name=names[i], records=recs))
+        return out_results
+
+    def _tags(self, mt_ms, ci, sl, cm, nc, s1):
+        """PAF tag block (reference: rmap.cpp:527-570)."""
+        return (
+            f"mt:f:{mt_ms:.6f}\tci:i:{ci}\tsl:i:{sl}\tcm:i:{cm}"
+            f"\tnc:i:{nc}\ts1:i:{s1}\tsm:f:{0.0:.2f}"
+        )
+
+    def _dtw_evaluate(self, regs, chain_axy, read_events):
+        """DTW chain evaluation (reference: align_chain, rmap.cpp:128-208)."""
+        from ..dtw.host import align_chain_host
+
+        mo = self.mopt
+        best_found = 0.0
+        bx, by = chain_axy
+        for r in regs:
+            align_chain_host(
+                r, bx, by, self.index, read_events, mo, min_score=best_found
+            )
+            if r.alignment_score >= mo.dtw_min_score:
+                best_found = max(best_found, r.alignment_score)
+            elif r.alignment_score < mo.dtw_min_score and r.alignment_score < 0:
+                r.alignment_score = 0.0 if mo.dtw_min_score > 0 else mo.dtw_min_score

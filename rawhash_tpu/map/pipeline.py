@@ -1,0 +1,199 @@
+"""Streaming host pipeline: signal files -> batches -> device -> PAF.
+
+The reference runs a 3-step kt_pipeline (bulk read -> parallel map -> ordered
+output; reference: map_worker_pipeline, rmap.cpp:661-800).  Here the stages
+are: a prefetch thread reads and batches signals, the main thread drives the
+device engine batch-by-batch, and PAF records are emitted in input order.
+Sequence Until taps the mapped stream between stages, exactly like the
+reference's step-1b (rmap.cpp:708-734).
+"""
+
+from __future__ import annotations
+
+import queue
+import sys
+import threading
+import time
+
+from ..config import IndexFlag, MapFlag
+
+
+def _batched_reads(paths, batch_size: int, mini_batch_bytes: int):
+    """Yield lists of (name, signal) with at most batch_size reads."""
+    from ..io.sigfile import find_signal_files, read_signals
+
+    batch = []
+    for path in paths:
+        for f in find_signal_files(path):
+            for name, sig in read_signals(f):
+                batch.append((name, sig))
+                if len(batch) >= batch_size:
+                    yield batch
+                    batch = []
+    if batch:
+        yield batch
+
+
+def _prefetch(gen, q, stop):
+    try:
+        for item in gen:
+            if stop.is_set():
+                break
+            q.put(item)
+    finally:
+        q.put(None)
+
+
+def run_pipeline(args, iopt, mopt, t0: float) -> int:
+    import numpy as np
+
+    from ..index.build import (
+        build_index_from_sequences,
+        build_index_from_signals,
+    )
+    from ..index.serialize import is_index_file, load_index, save_index
+    from ..io.fasta import read_fasta
+    from ..pore import load_pore
+
+    out = sys.stdout
+    if args.output and args.output != "-":
+        out = open(args.output, "w")
+    log = lambda msg: print(f"[M::rawhash-tpu::{time.time()-t0:.3f}] {msg}",
+                            file=sys.stderr)
+
+    # --- out-quantize debug mode (reference: rindex.c:288-301) ---
+    if iopt.flag & IndexFlag.OUT_QUANTIZE:
+        _run_out_quantize(args, iopt, out)
+        return 0
+
+    # --- index: load or build (reference: ri_idx_reader_read) ---
+    if is_index_file(args.target):
+        index = load_index(args.target)
+        log(f"loaded index: {index.n_seq} target(s), {index.n_seeds} seeds")
+    else:
+        if iopt.flag & IndexFlag.SIG_TARGET:
+            from ..io.sigfile import find_signal_files, read_signals
+
+            reads = []
+            for f in find_signal_files(args.target):
+                reads.extend(read_signals(f))
+            pore = None
+            if args.pore_file:
+                pore = load_pore(args.pore_file, iopt.k, iopt.lev_col)
+            index = build_index_from_signals(reads, pore, iopt)
+        else:
+            if not args.pore_file:
+                print(
+                    "[ERROR] a pore model (-p) is required to index a sequence file",
+                    file=sys.stderr,
+                )
+                return 1
+            pore = load_pore(args.pore_file, iopt.k, iopt.lev_col)
+            index = build_index_from_sequences(
+                read_fasta(args.target), pore, iopt
+            )
+        log(f"built index: {index.n_seq} target(s), {index.n_seeds} seeds")
+        if args.dump_index:
+            save_index(args.dump_index, index)
+            log(f"index dumped to {args.dump_index}")
+    if not args.query:
+        if not args.dump_index and not is_index_file(args.target):
+            log("no query files; only the index was constructed")
+        return 0
+
+    # --- mapping ---
+    from .engine import MappingEngine
+    from .sequence_until import SequenceUntil
+    from ..io.paf import paf_lines
+
+    engine = MappingEngine(index, mopt)
+    log(f"mid_occ = {mopt.mid_occ}")
+    su = None
+    if mopt.flag & MapFlag.SEQUENCEUNTIL:
+        su = SequenceUntil(
+            index.n_seq, mopt.t_threshold, mopt.tn_samples,
+            mopt.ttest_freq, mopt.tmin_reads,
+        )
+
+    batch_size = mopt.batch_reads
+    gen = _batched_reads(args.query, batch_size, mopt.mini_batch_size)
+    q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()
+    th = threading.Thread(target=_prefetch, args=(gen, q, stop), daemon=True)
+    th.start()
+
+    n_reads = n_mapped = 0
+    total_samples = 0
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            results = engine.map_batch(batch)
+            for (name, sig), res in zip(batch, results):
+                total_samples += sig.shape[0]
+                n_reads += 1
+                for line in paf_lines(res, index):
+                    out.write(line + "\n")
+                mapped = [m for m in res.records if m.mapped]
+                if mapped:
+                    n_mapped += 1
+                    if su is not None and su.observe(
+                        mapped[0].ref_id, mapped[0].frag_len
+                    ):
+                        log(
+                            "Sequence Until: estimates converged, stopping "
+                            f"after {su.nreads} mapped reads"
+                        )
+                        stop.set()
+                        raise StopIteration
+            out.flush()
+    except StopIteration:
+        pass
+    finally:
+        stop.set()
+
+    dt = time.time() - t0
+    log(
+        f"mapped {n_mapped}/{n_reads} reads, {total_samples} samples in "
+        f"{dt:.2f}s ({total_samples/max(dt,1e-9):.0f} samples/s)"
+    )
+    if engine.stats["hit_overflow"] or engine.stats["prev_overflow"]:
+        log(
+            f"capacity overflows: {engine.stats['hit_overflow']} seed hits, "
+            f"{engine.stats['prev_overflow']} carried anchors dropped "
+            "(raise --max-anchors to eliminate)"
+        )
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _run_out_quantize(args, iopt, out) -> None:
+    """Print quantized event streams (reference: --out-quantize,
+    rsketch.c:179,192 + worker_sig_pipeline)."""
+    import numpy as np
+
+    from ..io.sigfile import find_signal_files, read_signals
+    from ..signal.events_host import detect_events_np, normalize_signal_np
+    from ..sketch.host import diff_compact_indices
+    from ..sketch.quantize import dynamic_quantize_np
+
+    for path in [args.target] + list(args.query):
+        for f in find_signal_files(path):
+            for name, sig in read_signals(f):
+                if iopt.flag & IndexFlag.NO_EVENT_DETECTION:
+                    events, _ = normalize_signal_np(sig, (0.0, 0.0, 0))
+                else:
+                    events, _ = detect_events_np(
+                        sig, (0.0, 0.0, 0),
+                        iopt.window_length1, iopt.window_length2,
+                        iopt.threshold1, iopt.threshold2, iopt.peak_height,
+                    )
+                kept = diff_compact_indices(events, iopt.diff)
+                codes = dynamic_quantize_np(
+                    events[kept], iopt.fine_min, iopt.fine_max,
+                    iopt.fine_range, 1 << iopt.q,
+                ) & ((1 << iopt.q) - 1)
+                out.write(name + "\n")
+                out.write(",".join(str(int(c)) for c in codes) + "\n")
