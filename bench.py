@@ -1,0 +1,112 @@
+"""Benchmark: real-time raw-signal mapping throughput on one chip.
+
+Hermetic D1-style workload (viral-size genome, simulated nanopore reads),
+mirroring the reference's headline metric: mapped-signal throughput in
+bases/second (reference: test/figures/throughput/throughput.csv — RawHash
+D1 SARS-CoV-2 = 625,160 bp/s on a 32-thread CPU).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "bp/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_D1_BPS = 625_160.0  # reference 32-thread CPU, D1 SARS-CoV-2
+
+
+def main():
+    genome_len = 30_000  # SARS-CoV-2 scale
+    n_reads = 256
+    read_len = 1200
+    batch = 64
+
+    from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=genome_len))
+    pore = synthetic_pore(k=6)
+    iopt = IndexOptions()
+    mopt = MapOptions()
+    set_preset("viral", iopt, mopt)
+    mopt.batch_reads = batch
+    t0 = time.time()
+    index = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    t_index = time.time() - t0
+    print(f"# index: {index.n_seeds} seeds in {t_index:.2f}s", file=sys.stderr)
+
+    engine = MappingEngine(index, mopt)
+    reads = simulate_reads(genome, pore, n_reads=n_reads, read_len=read_len, rng=rng)
+    batches = [
+        [(n, s) for n, s, _, _ in reads[i : i + batch]]
+        for i in range(0, n_reads, batch)
+    ]
+
+    # warmup (compile)
+    t0 = time.time()
+    warm = engine.map_batch(batches[0])
+    t_compile = time.time() - t0
+    print(f"# warmup batch (compile): {t_compile:.2f}s", file=sys.stderr)
+
+    t0 = time.time()
+    results = list(warm)
+    for bb in batches[1:]:
+        results.extend(engine.map_batch(bb))
+    dt = time.time() - t0
+
+    # sequenced bases before decision, from the ci tag (chunks * chunk_size
+    # samples / samples-per-base), the reference's throughput accounting
+    spb = mopt.sample_per_base
+    bases = 0.0
+    n_mapped = n_correct = 0
+    timed_reads = results[len(batches[0]) :] if len(batches) > 1 else results
+    for res in timed_reads:
+        rec = res.records[0]
+        ci = 1
+        for tag in rec.tags.split("\t"):
+            if tag.startswith("ci:i:"):
+                ci = int(tag[5:])
+        bases += ci * mopt.chunk_size / spb
+    for (name, sig, true_start, strand), res in zip(reads, results):
+        rec = res.records[0]
+        if rec.mapped:
+            n_mapped += 1
+            if (
+                abs(rec.frag_start - true_start) < read_len + 500
+                and rec.rev == strand
+            ):
+                n_correct += 1
+
+    n_timed = len(timed_reads)
+    bps = bases / dt if dt > 0 else 0.0
+    acc = n_correct / max(n_mapped, 1)
+    print(
+        f"# mapped {n_mapped}/{n_reads} (accuracy of mapped: {acc:.3f}); "
+        f"{n_timed} timed reads in {dt:.2f}s "
+        f"({n_timed/dt:.1f} reads/s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "viral_realtime_mapping_throughput",
+                "value": round(bps, 1),
+                "unit": "bp/s",
+                "vs_baseline": round(bps / BASELINE_D1_BPS, 4),
+                "reads_per_s": round(n_timed / dt, 2),
+                "mapped_frac": round(n_mapped / n_reads, 3),
+                "accuracy": round(acc, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

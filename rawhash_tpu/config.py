@@ -191,10 +191,10 @@ class MapOptions:
     # --- TPU-engine specific capacities (static shapes for XLA) ---
     # These do not exist in the reference (it allocates dynamically); they
     # bound the padded device arrays.  Overflow is counted and reported.
-    max_events_per_chunk: int = 1536  # events kept per chunk (chunk_size/4 + headroom)
-    max_seeds_per_chunk: int = 1536
-    max_anchors_per_read: int = 4096  # anchors entering the chaining DP
-    batch_reads: int = 64  # reads mapped concurrently on device
+    max_events_per_chunk: int = 768  # events kept per chunk (~chunk/5 + headroom)
+    max_seeds_per_chunk: int = 768
+    max_anchors_per_read: int = 1024  # anchors entering the chaining DP
+    batch_reads: int = 256  # reads mapped concurrently on device
 
     @property
     def sample_per_base(self) -> float:

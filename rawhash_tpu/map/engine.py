@@ -70,9 +70,29 @@ def _unpack_xy(ax: np.ndarray, ay: np.ndarray):
     return key, tpos, qpos
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: chunk-step programs are large and
+    this environment's compiles are slow; cache them across processes."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "RAWHASH_TPU_CACHE", os.path.expanduser("~/.cache/rawhash_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 class MappingEngine:
     def __init__(self, index: RawIndex, mopt: MapOptions, device=None):
         import jax.numpy as jnp
+
+        _enable_compile_cache()
 
         self.index = index
         self.iopt = index.opts
