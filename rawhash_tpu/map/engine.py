@@ -234,17 +234,22 @@ class MappingEngine:
         qlens = np.array([s.shape[0] for s in sigs], dtype=np.int64)
 
         if no_adaptive:
+            # whole read in one chunk (reference: rmap.cpp:403-404); pad to a
+            # multiple of 4096 to bound recompilation, and scale the anchor
+            # capacity with the read length (self-hits in all-vs-all mode
+            # occupy slots before the name filter drops them)
             l_chunk = int(max(1, qlens.max()))
-            # pad to a multiple of 4096 to bound recompilation
             l_chunk = ((l_chunk + 4095) // 4096) * 4096
             max_chunk = 1
             e_cap = max(256, min(l_chunk // 3, 1 << 14))
+            a_cap = max(mo.max_anchors_per_read, 4 * e_cap)
+            p_cap = 8  # single chunk: carried anchors unused
         else:
             l_chunk = int(mo.chunk_size)
             max_chunk = int(mo.max_num_chunk)
             e_cap = mo.max_events_per_chunk
-        a_cap = mo.max_anchors_per_read // 2
-        p_cap = mo.max_anchors_per_read - a_cap
+            a_cap = mo.max_anchors_per_read // 2
+            p_cap = mo.max_anchors_per_read - a_cap
 
         carry = NormCarry.zeros(b)
         ev_offset = jnp.zeros(b, jnp.int32)

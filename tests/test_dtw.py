@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from rawhash_tpu.dtw.host import dtw_banded_np, dtw_global_np
+
+
+def dtw_reference_full(a, b):
+    """Textbook full-matrix DTW (oracle for both implementations)."""
+    n, m = len(a), len(b)
+    dp = np.full((n, m), np.inf, dtype=np.float64)
+    dp[0, 0] = abs(a[0] - b[0])
+    for i in range(1, n):
+        dp[i, 0] = dp[i - 1, 0] + abs(a[i] - b[0])
+    for j in range(1, m):
+        dp[0, j] = dp[0, j - 1] + abs(a[0] - b[j])
+    for i in range(1, n):
+        for j in range(1, m):
+            dp[i, j] = min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]) + abs(
+                a[i] - b[j]
+            )
+    return dp[n - 1, m - 1]
+
+
+@pytest.mark.parametrize("n,m", [(20, 20), (30, 17), (5, 40)])
+def test_dtw_global_matches_full_matrix(n, m):
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, n).astype(np.float32)
+    b = rng.normal(0, 1, m).astype(np.float32)
+    got = dtw_global_np(a, b)
+    want = dtw_reference_full(a, b)
+    assert abs(got - want) < 1e-3
+
+
+def test_dtw_banded_wide_band_equals_global():
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, 40).astype(np.float32)
+    b = rng.normal(0, 1, 35).astype(np.float32)
+    got = dtw_banded_np(a, b, band_radius=40)
+    want = dtw_global_np(a, b)
+    assert abs(got - want) < 1e-3
+
+
+def test_dtw_identical_sequences_zero_cost():
+    a = np.sin(np.arange(50) * 0.3).astype(np.float32)
+    assert dtw_global_np(a, a) < 1e-6
+    assert dtw_banded_np(a, a, 5) < 1e-6
+
+
+def test_dtw_exclude_last():
+    rng = np.random.default_rng(2)
+    a = rng.normal(0, 1, 15).astype(np.float32)
+    b = rng.normal(0, 1, 15).astype(np.float32)
+    full = dtw_global_np(a, b)
+    excl = dtw_global_np(a, b, exclude_last=True)
+    assert abs((full - excl) - abs(a[-1] - b[-1])) < 1e-5
+
+
+def test_dtw_evaluation_e2e():
+    """--store-sig index + --dtw-evaluate-chains mapping: true mappings score
+    well above noise (reference: align_chain, rmap.cpp:128-208)."""
+    from rawhash_tpu.config import (
+        IndexFlag,
+        IndexOptions,
+        MapFlag,
+        MapOptions,
+    )
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), size=6000))
+    pore = synthetic_pore(k=6)
+    iopt = IndexOptions(flag=IndexFlag.STORE_SIG)
+    mopt = MapOptions()
+    mopt.flag |= MapFlag.DTW_EVALUATE_CHAINS
+    mopt.max_anchors_per_read = 512
+    mopt.max_events_per_chunk = 768
+    index = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    assert index.F is not None and index.R is not None
+    engine = MappingEngine(index, mopt)
+    reads = simulate_reads(genome, pore, n_reads=4, read_len=600, rng=rng)
+    results = engine.map_batch([(n, s) for n, s, _, _ in reads])
+    n_ok = 0
+    for (name, sig, true_start, strand), res in zip(reads, results):
+        rec = res.records[0]
+        if rec.mapped and abs(rec.frag_start - true_start) < 1100:
+            n_ok += 1
+    assert n_ok >= 3
