@@ -57,8 +57,8 @@ def main():
 
     t0 = time.time()
     results = list(warm)
-    for bb in batches[1:]:
-        results.extend(engine.map_batch(bb))
+    for res in engine.map_stream(batches[1:]):
+        results.extend(res)
     dt = time.time() - t0
 
     # sequenced bases before decision, from the ci tag (chunks * chunk_size

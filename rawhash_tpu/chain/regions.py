@@ -81,55 +81,100 @@ class Region:
     alignment_score: float = 0.0
 
 
-def _set_coor(r: Region, ax: np.ndarray, ay: np.ndarray) -> None:
-    """reference: mm_reg_set_coor + mm_cal_fuzzy_len, hit.c:10-64."""
-    k = r.as_
-    x0 = int(ax[k])
-    r.rev = x0 >> 63
-    r.rid = (x0 << 1 >> 33) & 0x7FFFFFFF
-    r.rs = x0 & 0xFFFFFFFF
-    r.re = (int(ax[k + r.cnt - 1]) & 0xFFFFFFFF) + 1
-    r.qs = int(ay[k]) & 0xFFFFFFFF
-    r.qe = (int(ay[k + r.cnt - 1]) & 0xFFFFFFFF) + 1
-    # fuzzy match/block lengths
-    r.mlen = r.blen = (int(ay[k]) >> RI_ID_SHIFT) & SPAN_MASK
-    for i in range(k + 1, k + r.cnt):
-        span = (int(ay[i]) >> RI_ID_SHIFT) & SPAN_MASK
-        tl = (int(ax[i]) & 0xFFFFFFFF) - (int(ax[i - 1]) & 0xFFFFFFFF)
-        ql = (int(ay[i]) & 0xFFFFFFFF) - (int(ay[i - 1]) & 0xFFFFFFFF)
-        r.blen += max(tl, ql)
-        r.mlen += span if (tl > span and ql > span) else min(tl, ql)
-        r.mlen += min(tl, ql)
+def hash64_vec(key: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mixing hash (reference: hit.c:73-83)."""
+    key = key.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        key = ~key + (key << np.uint64(21))
+        key = key ^ (key >> np.uint64(24))
+        key = key + (key << np.uint64(3)) + (key << np.uint64(8))
+        key = key ^ (key >> np.uint64(14))
+        key = key + (key << np.uint64(2)) + (key << np.uint64(4))
+        key = key ^ (key >> np.uint64(28))
+        key = key + (key << np.uint64(31))
+    return key
 
 
 def gen_regs(read_hash: int, n_u: int, u: np.ndarray, ax: np.ndarray, ay: np.ndarray):
-    """Chains -> regions sorted by score with hashed tiebreak
-    (reference: mm_gen_regs, hit.c:100-150).
+    """Chains -> regions sorted by score with hashed tiebreak, coordinates and
+    fuzzy match lengths computed vectorized over all chains at once
+    (reference: mm_gen_regs + mm_reg_set_coor + mm_cal_fuzzy_len,
+    hit.c:10-150).
 
     u: [(score, cnt)] in target-position order, matching (ax, ay)."""
     if n_u == 0:
         return []
-    z = []
-    k = 0
-    for i in range(n_u):
-        h = hash64((hash64(int(ax[k])) + hash64(int(ay[k]))) ^ read_hash) & 0xFFFFFFFF
-        uval = ((int(u[i, 0]) << 32) | int(u[i, 1])) & M64
-        z.append((uval ^ h, (k << 32) | int(u[i, 1])))
-        k += int(u[i, 1])
-    z.sort(key=lambda t: t[0], reverse=True)
+    cnts = u[:, 1].astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    lasts = starts + cnts - 1
+
+    h = hash64_vec(
+        (hash64_vec(ax[starts]) + hash64_vec(ay[starts]))
+        ^ np.uint64(read_hash & 0xFFFFFFFF)
+    ) & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        zx = (
+            (u[:, 0].astype(np.uint64) << np.uint64(32)) | u[:, 1].astype(np.uint64)
+        ) ^ h
+
+    # coordinates (mm_reg_set_coor)
+    x0 = ax[starts]
+    rev = (x0 >> np.uint64(63)).astype(np.int64)
+    rid = ((x0 >> np.uint64(32)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+    rs = (x0 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    re = (ax[lasts] & np.uint64(0xFFFFFFFF)).astype(np.int64) + 1
+    qs = (ay[starts] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    qe = (ay[lasts] & np.uint64(0xFFFFFFFF)).astype(np.int64) + 1
+
+    # fuzzy lengths (mm_cal_fuzzy_len) over all anchors, segment-summed
+    n_a = ax.shape[0]
+    span0 = ((ay[starts] >> np.uint64(RI_ID_SHIFT)) & np.uint64(SPAN_MASK)).astype(
+        np.int64
+    )
+    if n_a > 1:
+        spans = ((ay >> np.uint64(RI_ID_SHIFT)) & np.uint64(SPAN_MASK)).astype(np.int64)
+        tl = (ax & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ql = (ay & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        tl = np.diff(tl, prepend=tl[:1])
+        ql = np.diff(ql, prepend=ql[:1])
+        mx = np.maximum(tl, ql)
+        mn = np.minimum(tl, ql)
+        ml = np.where((tl > spans) & (ql > spans), spans, mn) + mn
+        # zero out chain-first anchors, then segment-sum with cumsum gathers
+        first_mask = np.zeros(n_a, dtype=bool)
+        first_mask[starts] = True
+        mx[first_mask] = 0
+        mn_zeroed = np.where(first_mask, 0, ml)
+        cb = np.concatenate([[0], np.cumsum(mx)])
+        cm = np.concatenate([[0], np.cumsum(mn_zeroed)])
+        blen = span0 + (cb[lasts + 1] - cb[starts])
+        mlen = span0 + (cm[lasts + 1] - cm[starts])
+    else:
+        blen = span0.copy()
+        mlen = span0.copy()
+
+    order = np.argsort(zx, kind="stable")[::-1]
     regs = []
-    for i, (zx, zy) in enumerate(z):
-        r = Region(
-            id=i,
-            parent=PARENT_UNSET,
-            score=zx >> 32,
-            score0=zx >> 32,
-            hash=zx & 0xFFFFFFFF,
-            cnt=zy & 0xFFFFFFFF,
-            as_=zy >> 32,
+    for i, ci in enumerate(order):
+        regs.append(
+            Region(
+                id=i,
+                parent=PARENT_UNSET,
+                score=int(zx[ci] >> np.uint64(32)),
+                score0=int(zx[ci] >> np.uint64(32)),
+                hash=int(zx[ci] & np.uint64(0xFFFFFFFF)),
+                cnt=int(cnts[ci]),
+                as_=int(starts[ci]),
+                rev=int(rev[ci]),
+                rid=int(rid[ci]),
+                rs=int(rs[ci]),
+                re=int(re[ci]),
+                qs=int(qs[ci]),
+                qe=int(qe[ci]),
+                mlen=int(mlen[ci]),
+                blen=int(blen[ci]),
+            )
         )
-        _set_coor(r, ax, ay)
-        regs.append(r)
     return regs
 
 

@@ -87,6 +87,7 @@ def chunk_step(
 ) -> ChunkOut:
     b, l = sig.shape
     span = k + e - 1
+    sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
 
     # --- events (reference: detect_events, revent.c:257) ---
     events, n_ev, carry2 = detect_events_batch(

@@ -93,6 +93,10 @@ class MappingEngine:
         import jax.numpy as jnp
 
         _enable_compile_cache()
+        # half-precision signal transfer halves host->device bytes; the
+        # device casts back to f32 (pA in (30,200): f16 error ~0.06 pA,
+        # far below pore noise)
+        self.signal_dtype = np.float16
 
         self.index = index
         self.iopt = index.opts
@@ -216,28 +220,13 @@ class MappingEngine:
             )
         return regs, (bx, by), (px, py)
 
-    # ---------- main entry ----------
+    # ---------- batched chunk-loop state machine ----------
 
-    def map_batch(self, reads: list) -> list:
-        """Map a batch of reads [(name, signal float32[pA])].
-
-        Returns [ReadResult] in input order."""
-        import jax.numpy as jnp
-
+    def _plan(self, qlens: np.ndarray):
+        """Static capacities for a batch (NO_ADAPTIVE maps the whole read in
+        one chunk, reference: rmap.cpp:403-404)."""
         mo = self.mopt
-        io = self.iopt
-        is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
-        no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
-        b = len(reads)
-        names = [n for n, _ in reads]
-        sigs = [np.asarray(s, dtype=np.float32) for _, s in reads]
-        qlens = np.array([s.shape[0] for s in sigs], dtype=np.int64)
-
-        if no_adaptive:
-            # whole read in one chunk (reference: rmap.cpp:403-404); pad to a
-            # multiple of 4096 to bound recompilation, and scale the anchor
-            # capacity with the read length (self-hits in all-vs-all mode
-            # occupy slots before the name filter drops them)
+        if mo.flag & MapFlag.NO_ADAPTIVE:
             l_chunk = int(max(1, qlens.max()))
             l_chunk = ((l_chunk + 4095) // 4096) * 4096
             max_chunk = 1
@@ -250,198 +239,302 @@ class MappingEngine:
             e_cap = mo.max_events_per_chunk
             a_cap = mo.max_anchors_per_read // 2
             p_cap = mo.max_anchors_per_read - a_cap
+        return l_chunk, max_chunk, e_cap, a_cap, p_cap
 
-        carry = NormCarry.zeros(b)
-        ev_offset = jnp.zeros(b, jnp.int32)
-        prev_key = np.full((b, p_cap), 0xFFFFFFFF, dtype=np.uint32)
-        prev_tpos = np.zeros((b, p_cap), dtype=np.int32)
-        prev_qpos = np.zeros((b, p_cap), dtype=np.int32)
-        n_prev = np.zeros(b, dtype=np.int32)
-        q_rank = np.array([self._q_rank(n) for n in names], dtype=np.int32)
 
-        active = np.ones(b, dtype=bool)
-        results = [None] * b
-        last_regs = [[] for _ in range(b)]
-        c_counts = np.zeros(b, dtype=np.int64)
-        map_ids = [None] * b
-        ev_totals = np.zeros(b, dtype=np.int64)
-        t_start = np.full(b, time.perf_counter())
-        t_decided = np.zeros(b, dtype=np.float64)
-        all_events = [[] for _ in range(b)] if is_dtw else None
+class _BatchState:
+    """All per-batch mapping state across the chunk loop."""
 
-        for c in range(max_chunk):
-            if not active.any():
-                break
-            chunk = np.zeros((b, l_chunk), dtype=np.float32)
-            slen = np.zeros(b, dtype=np.int32)
-            for i in range(b):
-                if not active[i]:
-                    continue
-                if no_adaptive:
-                    seg = sigs[i][:l_chunk]
-                else:
-                    seg = sigs[i][c * l_chunk : (c + 1) * l_chunk]
-                chunk[i, : seg.shape[0]] = seg
-                slen[i] = seg.shape[0]
+    def __init__(self, engine: "MappingEngine", reads: list):
+        import jax.numpy as jnp
 
-            out = chunk_step(
-                self.didx,
-                jnp.asarray(chunk), jnp.asarray(slen), carry,
-                ev_offset,
-                jnp.asarray(prev_key), jnp.asarray(prev_tpos),
-                jnp.asarray(prev_qpos), jnp.asarray(n_prev),
-                jnp.asarray(q_rank), self._target_rank,
-                diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
-                fine_min=io.fine_min, fine_max=io.fine_max,
-                fine_range=io.fine_range,
-                window_length1=mo.window_length1,
-                window_length2=mo.window_length2,
-                threshold1=mo.threshold1, threshold2=mo.threshold2,
-                peak_height=mo.peak_height,
-                e_cap=e_cap, a_cap=a_cap,
-                min_events=mo.min_events, mid_occ=int(mo.mid_occ),
-                max_dist_t=mo.max_target_gap_length,
-                max_dist_q=mo.max_query_gap_length,
-                bw=mo.bw, max_iter=mo.max_chain_iter,
-                chn_pen_gap=self.chn_pen_gap, chn_pen_skip=self.chn_pen_skip,
-                all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
-            )
-            carry = out.carry
-            ev_offset = out.ev_offset
-            h_key = np.asarray(out.key)
-            h_tpos = np.asarray(out.tpos)
-            h_qpos = np.asarray(out.qpos)
-            h_nanc = np.asarray(out.n_anchors)
-            h_f = np.asarray(out.f)
-            h_p = np.asarray(out.p)
-            h_rep = np.asarray(out.rep_len)
-            h_nev = np.asarray(out.n_events)
-            h_proc = np.asarray(out.processed)
-            h_evoff = np.asarray(out.ev_offset)
-            self.stats["hit_overflow"] += int(np.asarray(out.hit_overflow)[active].sum())
-            if is_dtw:
-                h_events = np.asarray(out.events)
-
-            now = time.perf_counter()
-            for i in range(b):
-                if not active[i]:
-                    continue
-                if slen[i] == 0:
-                    # read exhausted before a decision
-                    active[i] = False
-                    n_prev[i] = 0
-                    continue
-                c_counts[i] = c
-                if not h_proc[i]:
-                    last_regs[i] = []
-                    continue
-                if is_dtw:
-                    all_events[i].append(h_events[i, : h_nev[i]].copy())
-                ev_totals[i] = int(h_evoff[i])
-                regs, chain_axy, (px, py) = self._chunk_tail(
-                    h_key[i], h_tpos[i], h_qpos[i], h_nanc[i],
-                    h_f[i], h_p[i], int(h_evoff[i]),
-                )
-                if is_dtw and regs:
-                    self._dtw_evaluate(regs, chain_axy, np.concatenate(all_events[i]))
-                set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
-                last_regs[i] = regs
-                # carry chain anchors into the next chunk
-                npv = min(px.shape[0], p_cap)
-                if px.shape[0] > p_cap:
-                    self.stats["prev_overflow"] += px.shape[0] - p_cap
-                k2, t2, q2 = _unpack_xy(px[:npv], py[:npv])
-                prev_key[i, :npv] = k2
-                prev_tpos[i, :npv] = t2
-                prev_qpos[i, :npv] = q2
-                n_prev[i] = npv
-
-                ids, done = self._decide(regs, is_dtw)
-                if done:
-                    map_ids[i] = ids
-                    t_decided[i] = now
-                    active[i] = False
-                    n_prev[i] = 0
-
-        # finalize (reference: rmap.cpp:507-586)
-        out_results = []
-        now = time.perf_counter()
-        for i in range(b):
-            qlen = int(qlens[i])
-            if no_adaptive:
-                cc = 0
-            else:
-                cc = int(c_counts[i])
-            regs = last_regs[i]
-            ids = map_ids[i]
-            # last-chance accept (reference: rmap.cpp:515-519)
-            if ids is None and regs and regs[0].mapq > self.mopt.min_mapq:
-                ids = [0]
-                t_decided[i] = now
-            mt = ((t_decided[i] if ids is not None else now) - t_start[i]) * 1000.0
-            offset = int(ev_totals[i])
-            lc = qlen if (no_adaptive or qlen < l_chunk) else l_chunk
-            if offset == 0 or self.mopt.sample_per_base == 0:
-                scale = 0.0
-            else:
-                scale = ((cc + 1) * lc / offset) / self.mopt.sample_per_base
-            recs = []
-            sig_t = self.index.sig_target
-            if ids:
-                for ic in ids:
-                    r = regs[ic]
-                    tags = self._tags(mt, cc + 1, qlen, r.cnt, len(regs), r.score)
-                    if sig_t:
-                        frag_start = (
-                            int(self.index.seq_lens[r.rid]) + 1 - r.re if r.rev else r.rs
-                        )
-                        rl, rqs, rqe = offset, r.qs, r.qe
-                    else:
-                        frag_start = (
-                            int(self.index.seq_lens[r.rid]) + 1 - r.re if r.rev else r.rs
-                        )
-                        rl = int(scale * r.qe)
-                        rqs, rqe = int(scale * r.qs), int(scale * r.qe)
-                    recs.append(
-                        MapRecord(
-                            read_length=rl, ref_id=r.rid, read_start=rqs,
-                            read_end=rqe, frag_start=frag_start,
-                            frag_len=r.re - r.rs + 1, mapq=r.mapq,
-                            rev=r.rev, mapped=1, tags=tags,
-                        )
-                    )
-                self.stats["mapped"] += 1
-            else:
-                if regs:
-                    tags = self._tags(mt, cc + 1, qlen, regs[0].cnt, len(regs),
-                                      regs[0].score)
-                else:
-                    tags = self._tags(mt, cc + 1, qlen, 0, 0, 0)
-                rl = offset if sig_t else int(scale * offset)
-                recs.append(MapRecord(read_length=rl, mapped=0, tags=tags))
-            self.stats["reads"] += 1
-            out_results.append(ReadResult(name=names[i], records=recs))
-        return out_results
-
-    def _tags(self, mt_ms, ci, sl, cm, nc, s1):
-        """PAF tag block (reference: rmap.cpp:527-570)."""
-        return (
-            f"mt:f:{mt_ms:.6f}\tci:i:{ci}\tsl:i:{sl}\tcm:i:{cm}"
-            f"\tnc:i:{nc}\ts1:i:{s1}\tsm:f:{0.0:.2f}"
+        self.reads = reads
+        self.b = len(reads)
+        self.names = [n for n, _ in reads]
+        self.sigs = [np.asarray(s, dtype=np.float32) for _, s in reads]
+        self.qlens = np.array([s.shape[0] for s in self.sigs], dtype=np.int64)
+        (self.l_chunk, self.max_chunk, self.e_cap, self.a_cap,
+         self.p_cap) = engine._plan(self.qlens)
+        b, p_cap = self.b, self.p_cap
+        self.carry = NormCarry.zeros(b)
+        self.ev_offset = jnp.zeros(b, jnp.int32)
+        self.prev_key = np.full((b, p_cap), 0xFFFFFFFF, dtype=np.uint32)
+        self.prev_tpos = np.zeros((b, p_cap), dtype=np.int32)
+        self.prev_qpos = np.zeros((b, p_cap), dtype=np.int32)
+        self.n_prev = np.zeros(b, dtype=np.int32)
+        self.q_rank = np.array(
+            [engine._q_rank(n) for n in self.names], dtype=np.int32
         )
+        self.active = np.ones(b, dtype=bool)
+        self.last_regs = [[] for _ in range(b)]
+        self.c_counts = np.zeros(b, dtype=np.int64)
+        self.map_ids = [None] * b
+        self.ev_totals = np.zeros(b, dtype=np.int64)
+        self.t_start = np.full(b, time.perf_counter())
+        self.t_decided = np.zeros(b, dtype=np.float64)
+        self.all_events = [[] for _ in range(b)]
+        self.chunk_idx = 0
+        self.pending = None  # in-flight ChunkOut
+        self.pending_slen = None
 
-    def _dtw_evaluate(self, regs, chain_axy, read_events):
-        """DTW chain evaluation (reference: align_chain, rmap.cpp:128-208)."""
-        from ..dtw.host import align_chain_host
+    def done(self) -> bool:
+        return self.chunk_idx >= self.max_chunk or not self.active.any()
 
-        mo = self.mopt
-        best_found = 0.0
-        bx, by = chain_axy
-        for r in regs:
-            align_chain_host(
-                r, bx, by, self.index, read_events, mo, min_score=best_found
+
+def _submit_chunk(engine: MappingEngine, st: _BatchState):
+    """Enqueue the device chunk step (async dispatch — returns immediately
+    with lazy outputs, so another batch's host tail can overlap)."""
+    import jax.numpy as jnp
+
+    mo = engine.mopt
+    io = engine.iopt
+    c = st.chunk_idx
+    no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
+    chunk = np.zeros((st.b, st.l_chunk), dtype=np.float32)
+    slen = np.zeros(st.b, dtype=np.int32)
+    for i in range(st.b):
+        if not st.active[i]:
+            continue
+        if no_adaptive:
+            seg = st.sigs[i][: st.l_chunk]
+        else:
+            seg = st.sigs[i][c * st.l_chunk : (c + 1) * st.l_chunk]
+        chunk[i, : seg.shape[0]] = seg
+        slen[i] = seg.shape[0]
+    sig_dev = jnp.asarray(chunk.astype(engine.signal_dtype))
+    out = chunk_step(
+        engine.didx,
+        sig_dev, jnp.asarray(slen), st.carry,
+        st.ev_offset,
+        jnp.asarray(st.prev_key), jnp.asarray(st.prev_tpos),
+        jnp.asarray(st.prev_qpos), jnp.asarray(st.n_prev),
+        jnp.asarray(st.q_rank), engine._target_rank,
+        diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
+        fine_min=io.fine_min, fine_max=io.fine_max,
+        fine_range=io.fine_range,
+        window_length1=mo.window_length1,
+        window_length2=mo.window_length2,
+        threshold1=mo.threshold1, threshold2=mo.threshold2,
+        peak_height=mo.peak_height,
+        e_cap=st.e_cap, a_cap=st.a_cap,
+        min_events=mo.min_events, mid_occ=int(mo.mid_occ),
+        max_dist_t=mo.max_target_gap_length,
+        max_dist_q=mo.max_query_gap_length,
+        bw=mo.bw, max_iter=mo.max_chain_iter,
+        chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
+        all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+    )
+    st.pending = out
+    st.pending_slen = slen
+
+
+def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
+    """Host tail of an in-flight chunk: backtrack, regions, MAPQ, decisions
+    (reference: rmap.cpp:415-500)."""
+    mo = engine.mopt
+    is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
+    out = st.pending
+    slen = st.pending_slen
+    st.pending = st.pending_slen = None
+    st.carry = out.carry
+    st.ev_offset = out.ev_offset
+    h_key = np.asarray(out.key)
+    h_tpos = np.asarray(out.tpos)
+    h_qpos = np.asarray(out.qpos)
+    h_nanc = np.asarray(out.n_anchors)
+    h_f = np.asarray(out.f)
+    h_p = np.asarray(out.p)
+    h_rep = np.asarray(out.rep_len)
+    h_nev = np.asarray(out.n_events)
+    h_proc = np.asarray(out.processed)
+    h_evoff = np.asarray(out.ev_offset)
+    engine.stats["hit_overflow"] += int(
+        np.asarray(out.hit_overflow)[st.active].sum()
+    )
+    if is_dtw:
+        h_events = np.asarray(out.events)
+
+    c = st.chunk_idx
+    now = time.perf_counter()
+    for i in range(st.b):
+        if not st.active[i]:
+            continue
+        if slen[i] == 0:
+            st.active[i] = False
+            st.n_prev[i] = 0
+            continue
+        st.c_counts[i] = c
+        if not h_proc[i]:
+            st.last_regs[i] = []
+            continue
+        if is_dtw:
+            st.all_events[i].append(h_events[i, : h_nev[i]].copy())
+        st.ev_totals[i] = int(h_evoff[i])
+        regs, chain_axy, (px, py) = engine._chunk_tail(
+            h_key[i], h_tpos[i], h_qpos[i], h_nanc[i],
+            h_f[i], h_p[i], int(h_evoff[i]),
+        )
+        if is_dtw and regs:
+            engine._dtw_evaluate(
+                regs, chain_axy, np.concatenate(st.all_events[i])
             )
-            if r.alignment_score >= mo.dtw_min_score:
-                best_found = max(best_found, r.alignment_score)
-            elif r.alignment_score < mo.dtw_min_score and r.alignment_score < 0:
-                r.alignment_score = 0.0 if mo.dtw_min_score > 0 else mo.dtw_min_score
+        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
+        st.last_regs[i] = regs
+        npv = min(px.shape[0], st.p_cap)
+        if px.shape[0] > st.p_cap:
+            engine.stats["prev_overflow"] += px.shape[0] - st.p_cap
+        k2, t2, q2 = _unpack_xy(px[:npv], py[:npv])
+        st.prev_key[i, :npv] = k2
+        st.prev_tpos[i, :npv] = t2
+        st.prev_qpos[i, :npv] = q2
+        st.n_prev[i] = npv
+
+        ids, done = engine._decide(regs, is_dtw)
+        if done:
+            st.map_ids[i] = ids
+            st.t_decided[i] = now
+            st.active[i] = False
+            st.n_prev[i] = 0
+    st.chunk_idx += 1
+
+
+def _finalize_batch(engine: MappingEngine, st: _BatchState) -> list:
+    """Build ReadResults (reference: rmap.cpp:507-586)."""
+    mo = engine.mopt
+    no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
+    out_results = []
+    now = time.perf_counter()
+    for i in range(st.b):
+        qlen = int(st.qlens[i])
+        cc = 0 if no_adaptive else int(st.c_counts[i])
+        regs = st.last_regs[i]
+        ids = st.map_ids[i]
+        # last-chance accept (reference: rmap.cpp:515-519)
+        if ids is None and regs and regs[0].mapq > mo.min_mapq:
+            ids = [0]
+            st.t_decided[i] = now
+        mt = ((st.t_decided[i] if ids is not None else now) - st.t_start[i]) * 1000.0
+        offset = int(st.ev_totals[i])
+        lc = qlen if (no_adaptive or qlen < st.l_chunk) else st.l_chunk
+        if offset == 0 or mo.sample_per_base == 0:
+            scale = 0.0
+        else:
+            scale = ((cc + 1) * lc / offset) / mo.sample_per_base
+        recs = []
+        sig_t = engine.index.sig_target
+        if ids:
+            for ic in ids:
+                r = regs[ic]
+                tags = engine._tags(mt, cc + 1, qlen, r.cnt, len(regs), r.score)
+                frag_start = (
+                    int(engine.index.seq_lens[r.rid]) + 1 - r.re if r.rev else r.rs
+                )
+                if sig_t:
+                    rl, rqs, rqe = offset, r.qs, r.qe
+                else:
+                    rl = int(scale * r.qe)
+                    rqs, rqe = int(scale * r.qs), int(scale * r.qe)
+                recs.append(
+                    MapRecord(
+                        read_length=rl, ref_id=r.rid, read_start=rqs,
+                        read_end=rqe, frag_start=frag_start,
+                        frag_len=r.re - r.rs + 1, mapq=r.mapq,
+                        rev=r.rev, mapped=1, tags=tags,
+                    )
+                )
+            engine.stats["mapped"] += 1
+        else:
+            if regs:
+                tags = engine._tags(mt, cc + 1, qlen, regs[0].cnt, len(regs),
+                                    regs[0].score)
+            else:
+                tags = engine._tags(mt, cc + 1, qlen, 0, 0, 0)
+            rl = offset if sig_t else int(scale * offset)
+            recs.append(MapRecord(read_length=rl, mapped=0, tags=tags))
+        engine.stats["reads"] += 1
+        out_results.append(ReadResult(name=st.names[i], records=recs))
+    return out_results
+
+
+def _map_stream_impl(engine: MappingEngine, batches):
+    """Two batches in flight: while the host runs one batch's chunk tail, the
+    device executes the other's chunk step (the kt_pipeline overlap,
+    reference: kthread.c:130, re-expressed via async dispatch)."""
+    import collections
+
+    batches = iter(batches)
+    inflight: collections.deque = collections.deque()
+    results: dict = {}
+    next_in = 0
+    next_out = 0
+
+    def pull():
+        nonlocal next_in
+        try:
+            reads = next(batches)
+        except StopIteration:
+            return False
+        st = _BatchState(engine, reads)
+        st.order = next_in
+        next_in += 1
+        _submit_chunk(engine, st)
+        inflight.append(st)
+        return True
+
+    pull()
+    pull()
+    while inflight:
+        st = inflight.popleft()
+        _process_chunk(engine, st)
+        if st.done():
+            results[st.order] = _finalize_batch(engine, st)
+            if len(inflight) < 2:
+                pull()
+        else:
+            _submit_chunk(engine, st)
+            inflight.append(st)
+        while next_out in results:
+            yield results.pop(next_out)
+            next_out += 1
+    while next_out in results:
+        yield results.pop(next_out)
+        next_out += 1
+
+
+def _map_batch_impl(engine: MappingEngine, reads: list) -> list:
+    for res in _map_stream_impl(engine, [reads]):
+        return res
+    return []
+
+
+MappingEngine.map_stream = _map_stream_impl
+MappingEngine.map_batch = _map_batch_impl
+
+
+def _tags_impl(self, mt_ms, ci, sl, cm, nc, s1):
+    """PAF tag block (reference: rmap.cpp:527-570)."""
+    return (
+        f"mt:f:{mt_ms:.6f}\tci:i:{ci}\tsl:i:{sl}\tcm:i:{cm}"
+        f"\tnc:i:{nc}\ts1:i:{s1}\tsm:f:{0.0:.2f}"
+    )
+
+
+def _dtw_evaluate_impl(self, regs, chain_axy, read_events):
+    """DTW chain evaluation (reference: align_chain, rmap.cpp:128-208)."""
+    from ..dtw.host import align_chain_host
+
+    mo = self.mopt
+    best_found = 0.0
+    bx, by = chain_axy
+    for r in regs:
+        align_chain_host(
+            r, bx, by, self.index, read_events, mo, min_score=best_found
+        )
+        if r.alignment_score >= mo.dtw_min_score:
+            best_found = max(best_found, r.alignment_score)
+        elif r.alignment_score < mo.dtw_min_score and r.alignment_score < 0:
+            r.alignment_score = 0.0 if mo.dtw_min_score > 0 else mo.dtw_min_score
+
+
+MappingEngine._tags = _tags_impl
+MappingEngine._dtw_evaluate = _dtw_evaluate_impl

@@ -122,14 +122,25 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
     th = threading.Thread(target=_prefetch, args=(gen, q, stop), daemon=True)
     th.start()
 
+    import collections
+
+    pending_batches: collections.deque = collections.deque()
+
+    def batch_iter():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            pending_batches.append(item)
+            yield item
+
     n_reads = n_mapped = 0
     total_samples = 0
     try:
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            results = engine.map_batch(batch)
+        # map_stream keeps two batches in flight (device/host overlap);
+        # results come back in submission order, so FIFO pairing is exact
+        for results in engine.map_stream(batch_iter()):
+            batch = pending_batches.popleft()
             for (name, sig), res in zip(batch, results):
                 total_samples += sig.shape[0]
                 n_reads += 1
