@@ -196,14 +196,23 @@ class MappingEngine:
         mo = self.mopt
         n = int(n_anchors)
         ax, ay = _pack_xy(key[:n], tpos[:n], qpos[:n], self.span)
-        u, v = chain_backtrack(
-            f[:n].astype(np.int32),
-            p[:n].astype(np.int64),
-            min_cnt=mo.min_num_anchors,
-            min_sc=mo.min_chaining_score,
-            max_drop=mo.bw,
+        from .._native import chain_tail_native
+
+        native = chain_tail_native(
+            f[:n], p[:n], ax, ay,
+            mo.min_num_anchors, mo.min_chaining_score, mo.bw,
         )
-        u_s, bx, by, px, py = compact_chains(u, v, ax, ay)
+        if native is not None:
+            u_s, bx, by, px, py = native
+        else:
+            u, v = chain_backtrack(
+                f[:n].astype(np.int32),
+                p[:n].astype(np.int64),
+                min_cnt=mo.min_num_anchors,
+                min_sc=mo.min_chaining_score,
+                max_drop=mo.bw,
+            )
+            u_s, bx, by, px, py = compact_chains(u, v, ax, ay)
         # read hash (reference: rmap.cpp:346-348)
         h = 0
         h ^= (wang_hash32(ev_total) + wang_hash32(11)) & 0xFFFFFFFF
