@@ -97,6 +97,9 @@ class MappingEngine:
         # device casts back to f32 (pA in (30,200): f16 error ~0.06 pA,
         # far below pore noise)
         self.signal_dtype = np.float16
+        from ..utils.timers import StageProfiler
+
+        self.profiler = StageProfiler()
 
         self.index = index
         self.iopt = index.opts
@@ -196,23 +199,45 @@ class MappingEngine:
         mo = self.mopt
         n = int(n_anchors)
         ax, ay = _pack_xy(key[:n], tpos[:n], qpos[:n], self.span)
-        from .._native import chain_tail_native
+        if mo.flag & MapFlag.RMQ:
+            # RMQ chaining mode: refill scores with the host RMQ chainer
+            # (reference: rmap.cpp:332-334); the device DP fill is unused
+            from ..chain.rmq import lchain_rmq_np
 
-        native = chain_tail_native(
-            f[:n], p[:n], ax, ay,
-            mo.min_num_anchors, mo.min_chaining_score, mo.bw,
-        )
-        if native is not None:
-            u_s, bx, by, px, py = native
-        else:
-            u, v = chain_backtrack(
-                f[:n].astype(np.int32),
-                p[:n].astype(np.int64),
-                min_cnt=mo.min_num_anchors,
-                min_sc=mo.min_chaining_score,
-                max_drop=mo.bw,
+            max_gap = max(mo.max_target_gap_length, mo.max_query_gap_length)
+            u_s, bx, by, px, py = lchain_rmq_np(
+                ax, ay, max_gap, mo.rmq_inner_dist, mo.bw, mo.max_num_skips,
+                mo.rmq_size_cap, mo.min_num_anchors, mo.min_chaining_score,
+                self.chn_pen_gap, self.chn_pen_skip,
             )
-            u_s, bx, by, px, py = compact_chains(u, v, ax, ay)
+        else:
+            from .._native import chain_tail_native
+
+            native = chain_tail_native(
+                f[:n], p[:n], ax, ay,
+                mo.min_num_anchors, mo.min_chaining_score, mo.bw,
+            )
+            if native is not None:
+                u_s, bx, by, px, py = native
+            else:
+                u, v = chain_backtrack(
+                    f[:n].astype(np.int32),
+                    p[:n].astype(np.int64),
+                    min_cnt=mo.min_num_anchors,
+                    min_sc=mo.min_chaining_score,
+                    max_drop=mo.bw,
+                )
+                u_s, bx, by, px, py = compact_chains(u, v, ax, ay)
+        if mo.bw_long > mo.bw and bx.shape[0] > 0:
+            # long-gap re-chaining pass (reference: rmap.cpp:336-340)
+            from ..chain.rmq import lchain_rmq_np
+
+            max_gap = max(mo.max_target_gap_length, mo.max_query_gap_length)
+            u_s, bx, by, px, py = lchain_rmq_np(
+                bx, by, max_gap, mo.rmq_inner_dist, mo.bw_long,
+                mo.max_num_skips, mo.rmq_size_cap, mo.min_num_anchors,
+                mo.min_chaining_score, self.chn_pen_gap, self.chn_pen_skip,
+            )
         # read hash (reference: rmap.cpp:346-348)
         h = 0
         h ^= (wang_hash32(ev_total) + wang_hash32(11)) & 0xFFFFFFFF
@@ -310,6 +335,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
             seg = st.sigs[i][c * st.l_chunk : (c + 1) * st.l_chunk]
         chunk[i, : seg.shape[0]] = seg
         slen[i] = seg.shape[0]
+    t_sub = time.perf_counter()
     sig_dev = jnp.asarray(chunk.astype(engine.signal_dtype))
     out = chunk_step(
         engine.didx,
@@ -333,6 +359,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
         all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
     )
+    engine.profiler.add("submit", time.perf_counter() - t_sub)
     st.pending = out
     st.pending_slen = slen
 
@@ -347,6 +374,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     st.pending = st.pending_slen = None
     st.carry = out.carry
     st.ev_offset = out.ev_offset
+    t_wait = time.perf_counter()
     h_key = np.asarray(out.key)
     h_tpos = np.asarray(out.tpos)
     h_qpos = np.asarray(out.qpos)
@@ -362,9 +390,11 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     )
     if is_dtw:
         h_events = np.asarray(out.events)
+    engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
 
     c = st.chunk_idx
     now = time.perf_counter()
+    t_host = now
     for i in range(st.b):
         if not st.active[i]:
             continue
@@ -404,6 +434,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             st.t_decided[i] = now
             st.active[i] = False
             st.n_prev[i] = 0
+    engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
     st.chunk_idx += 1
 
 

@@ -164,7 +164,11 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
     finally:
         stop.set()
 
+    from ..utils.timers import resource_summary
+
     dt = time.time() - t0
+    log(f"stage profile: {engine.profiler.summary()}")
+    log(resource_summary(t0))
     log(
         f"mapped {n_mapped}/{n_reads} reads, {total_samples} samples in "
         f"{dt:.2f}s ({total_samples/max(dt,1e-9):.0f} samples/s)"
