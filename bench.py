@@ -20,7 +20,7 @@ BASELINE_D1_BPS = 625_160.0  # reference 32-thread CPU, D1 SARS-CoV-2
 
 def main():
     genome_len = 30_000  # SARS-CoV-2 scale
-    n_reads = 256
+    n_reads = 576
     read_len = 1200
     batch = 64
 

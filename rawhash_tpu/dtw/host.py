@@ -112,8 +112,10 @@ def align_chain_host(
             chain.alignment_score = 0.0
             return
         if banded:
+            from .banded import dtw_banded_vec
+
             radius = max(1, int(qlen * mopt.dtw_band_radius_frac))
-            dtw_cost = dtw_banded_np(qev, rev, radius)
+            dtw_cost = dtw_banded_vec(qev, rev, radius)
         else:
             dtw_cost = dtw_global_np(qev, rev)
         num_aligned = qlen
@@ -136,8 +138,10 @@ def align_chain_host(
                 continue
             exclude_last = part != parts - 1
             if banded:
+                from .banded import dtw_banded_vec
+
                 radius = max(1, int(qev.shape[0] * mopt.dtw_band_radius_frac))
-                sub = dtw_banded_np(qev, rev, radius, exclude_last)
+                sub = dtw_banded_vec(qev, rev, radius, exclude_last)
             else:
                 sub = dtw_global_np(qev, rev, exclude_last)
             dtw_cost += sub

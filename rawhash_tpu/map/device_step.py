@@ -29,12 +29,15 @@ U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
 class ChunkOut(NamedTuple):
+    # transfer-packed outputs: qpos/f/p ride int16 (event offsets < 2^15,
+    # chain scores < 2^15 for real spans, predecessor indices < N <= 2^15);
+    # the host unpacks (engine._process_chunk)
     key: jnp.ndarray  # u32 [B, N] sorted anchors (sentinel U32_MAX pad)
     tpos: jnp.ndarray  # i32 [B, N]
-    qpos: jnp.ndarray  # i32 [B, N]
+    qpos: jnp.ndarray  # i16 [B, N]
     n_anchors: jnp.ndarray  # i32 [B]
-    f: jnp.ndarray  # i32 [B, N]
-    p: jnp.ndarray  # i32 [B, N]
+    f: jnp.ndarray  # i16 [B, N]
+    p: jnp.ndarray  # i16 [B, N]
     rep_len: jnp.ndarray  # i32 [B]
     n_events: jnp.ndarray  # i32 [B]
     processed: jnp.ndarray  # bool [B] (n_events >= min_events)
@@ -55,7 +58,7 @@ class ChunkOut(NamedTuple):
         "min_events", "mid_occ",
         "max_dist_t", "max_dist_q", "bw", "max_iter",
         "chn_pen_gap", "chn_pen_skip",
-        "all_vs_all",
+        "all_vs_all", "keep_events",
     ),
 )
 def chunk_step(
@@ -84,6 +87,7 @@ def chunk_step(
     max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
     chn_pen_gap: float, chn_pen_skip: float,
     all_vs_all: bool,
+    keep_events: bool = False,
 ) -> ChunkOut:
     b, l = sig.shape
     span = k + e - 1
@@ -174,9 +178,17 @@ def chunk_step(
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
     )
 
+    n_total = s_key.shape[1]
+    assert n_total < (1 << 15), "anchor capacity must fit int16 packing"
     return ChunkOut(
-        key=s_key, tpos=s_tpos, qpos=s_qpos, n_anchors=n_anchors,
-        f=f, p=p, rep_len=rep_len, n_events=n_ev, processed=processed,
-        events=events, hit_overflow=overflow, carry=carry2,
+        key=s_key, tpos=s_tpos,
+        qpos=jnp.clip(s_qpos, -32768, 32767).astype(jnp.int16),
+        n_anchors=n_anchors,
+        f=jnp.clip(f, -32768, 32767).astype(jnp.int16),
+        p=p.astype(jnp.int16),
+        rep_len=rep_len, n_events=n_ev, processed=processed,
+        events=events.astype(jnp.float16) if keep_events
+        else jnp.zeros((b, 1), jnp.float16),
+        hit_overflow=overflow, carry=carry2,
         ev_offset=ev_offset2,
     )

@@ -265,7 +265,8 @@ class MappingEngine:
             l_chunk = ((l_chunk + 4095) // 4096) * 4096
             max_chunk = 1
             e_cap = max(256, min(l_chunk // 3, 1 << 14))
-            a_cap = max(mo.max_anchors_per_read, 4 * e_cap)
+            # int16 predecessor packing bounds total anchors to < 2^15
+            a_cap = min(max(mo.max_anchors_per_read, 4 * e_cap), 32000)
             p_cap = 8  # single chunk: carried anchors unused
         else:
             l_chunk = int(mo.chunk_size)
@@ -358,6 +359,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         bw=mo.bw, max_iter=mo.max_chain_iter,
         chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
         all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+        keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
     )
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     st.pending = out
@@ -377,10 +379,10 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     t_wait = time.perf_counter()
     h_key = np.asarray(out.key)
     h_tpos = np.asarray(out.tpos)
-    h_qpos = np.asarray(out.qpos)
+    h_qpos = np.asarray(out.qpos).astype(np.int32)
     h_nanc = np.asarray(out.n_anchors)
-    h_f = np.asarray(out.f)
-    h_p = np.asarray(out.p)
+    h_f = np.asarray(out.f).astype(np.int32)
+    h_p = np.asarray(out.p).astype(np.int32)
     h_rep = np.asarray(out.rep_len)
     h_nev = np.asarray(out.n_events)
     h_proc = np.asarray(out.processed)
@@ -389,7 +391,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         np.asarray(out.hit_overflow)[st.active].sum()
     )
     if is_dtw:
-        h_events = np.asarray(out.events)
+        h_events = np.asarray(out.events).astype(np.float32)
     engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
 
     c = st.chunk_idx

@@ -88,3 +88,25 @@ def test_dtw_evaluation_e2e():
         if rec.mapped and abs(rec.frag_start - true_start) < 1100:
             n_ok += 1
     assert n_ok >= 3
+
+
+@pytest.mark.parametrize("n,m,r", [(50, 45, 8), (80, 80, 10), (30, 70, 12), (64, 64, 100)])
+def test_banded_vec_matches_scalar(n, m, r):
+    from rawhash_tpu.dtw.banded import dtw_banded_vec
+
+    rng = np.random.default_rng(n * m + r)
+    a = rng.normal(0, 1, n).astype(np.float32)
+    b = rng.normal(0, 1, m).astype(np.float32)
+    got = dtw_banded_vec(a, b, r)
+    want = dtw_banded_np(a, b, r)
+    assert abs(got - want) < 1e-2 * max(1.0, abs(want))
+
+
+def test_banded_vec_exclude_last():
+    from rawhash_tpu.dtw.banded import dtw_banded_vec
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 1, 40).astype(np.float32)
+    b = rng.normal(0, 1, 40).astype(np.float32)
+    d = dtw_banded_vec(a, b, 6) - dtw_banded_vec(a, b, 6, exclude_last=True)
+    assert abs(d - abs(a[-1] - b[-1])) < 1e-4
