@@ -124,6 +124,9 @@ class MappingEngine:
         self._sorted_names = [index.seq_names[i] for i in order]
         self._jnp = jnp
         self.stats = {"hit_overflow": 0, "prev_overflow": 0, "reads": 0, "mapped": 0}
+        # adaptive D2H width: transfer only the live anchor prefix, sized
+        # from recent batches (anchors are sorted valid-first)
+        self._ncut = None
 
     # ---------- helpers ----------
 
@@ -377,12 +380,25 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     t_wait = time.perf_counter()
-    h_key = np.asarray(out.key)
-    h_tpos = np.asarray(out.tpos)
-    h_qpos = np.asarray(out.qpos).astype(np.int32)
+    # anchors are sorted valid-first: transfer only a prefix of the [B, N]
+    # arrays, with the width learned from recent batches (no blocking
+    # dependency); rows that overflow the guess fall back to a full fetch
+    ncols = out.key.shape[1]
+    ncut = engine._ncut if engine._ncut is not None else ncols
+    h_key = np.asarray(out.key[:, :ncut])
+    h_tpos = np.asarray(out.tpos[:, :ncut])
+    h_qpos = np.asarray(out.qpos[:, :ncut]).astype(np.int32)
+    h_f = np.asarray(out.f[:, :ncut]).astype(np.int32)
+    h_p = np.asarray(out.p[:, :ncut]).astype(np.int32)
     h_nanc = np.asarray(out.n_anchors)
-    h_f = np.asarray(out.f).astype(np.int32)
-    h_p = np.asarray(out.p).astype(np.int32)
+    nmax = int(h_nanc.max()) if h_nanc.size else 0
+    if nmax > ncut:
+        h_key = np.asarray(out.key)
+        h_tpos = np.asarray(out.tpos)
+        h_qpos = np.asarray(out.qpos).astype(np.int32)
+        h_f = np.asarray(out.f).astype(np.int32)
+        h_p = np.asarray(out.p).astype(np.int32)
+    engine._ncut = min(ncols, max(128, ((nmax + nmax // 4) + 127) & ~127))
     h_rep = np.asarray(out.rep_len)
     h_nev = np.asarray(out.n_events)
     h_proc = np.asarray(out.processed)
