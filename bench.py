@@ -37,6 +37,7 @@ def main():
     mopt = MapOptions()
     set_preset("viral", iopt, mopt)
     mopt.batch_reads = batch
+    mopt.max_anchors_per_read = 1024  # ample for the 30 kb target (0 overflows)
     t0 = time.time()
     index = build_index_from_sequences([("chr1", genome)], pore, iopt)
     t_index = time.time() - t0

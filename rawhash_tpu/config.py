@@ -193,7 +193,7 @@ class MapOptions:
     # bound the padded device arrays.  Overflow is counted and reported.
     max_events_per_chunk: int = 768  # events kept per chunk (~chunk/5 + headroom)
     max_seeds_per_chunk: int = 768
-    max_anchors_per_read: int = 1024  # anchors entering the chaining DP
+    max_anchors_per_read: int = 4096  # total anchor budget for the chaining DP
     batch_reads: int = 256  # reads mapped concurrently on device
 
     @property

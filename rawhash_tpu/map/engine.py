@@ -276,15 +276,15 @@ class MappingEngine:
             max_chunk = int(mo.max_num_chunk)
             e_cap = mo.max_events_per_chunk
             # expected hits/chunk ~ query seeds x mean key occurrence; size
-            # the anchor buffer for the index at hand (the reference grows
-            # dynamically; we pick the static capacity from index stats)
+            # the new-hit buffer from index stats within the user's total
+            # anchor budget (the reference grows dynamically; we pick static
+            # capacities and report overflows)
             n_keys = max(1, self.index.keys.shape[0])
             mean_occ = self.index.n_seeds / n_keys
-            expected = int(e_cap * min(mean_occ, 8.0))
-            a_cap = max(mo.max_anchors_per_read // 2, (expected + 127) & ~127)
-            a_cap = min(a_cap, 12000)
-            p_cap = max(mo.max_anchors_per_read - mo.max_anchors_per_read // 2,
-                        a_cap // 2)
+            expected = int(e_cap * min(mean_occ, 8.0) * 0.75)
+            total = mo.max_anchors_per_read
+            a_cap = min(max(512, (expected + 127) & ~127), (2 * total) // 3)
+            p_cap = total - a_cap
         return l_chunk, max_chunk, e_cap, a_cap, p_cap
 
 

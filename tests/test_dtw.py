@@ -110,3 +110,23 @@ def test_banded_vec_exclude_last():
     b = rng.normal(0, 1, 40).astype(np.float32)
     d = dtw_banded_vec(a, b, 6) - dtw_banded_vec(a, b, 6, exclude_last=True)
     assert abs(d - abs(a[-1] - b[-1])) < 1e-4
+
+
+@pytest.mark.parametrize("r", [4, 10])
+def test_device_banded_batch_matches_host(r):
+    from rawhash_tpu.dtw.banded import dtw_banded_vec
+    from rawhash_tpu.dtw.device import dtw_banded_batch_host
+
+    rng = np.random.default_rng(17 + r)
+    pairs = []
+    for _ in range(6):
+        n = int(rng.integers(12, 60))
+        m = int(rng.integers(12, 60))
+        pairs.append(
+            (rng.normal(0, 1, n).astype(np.float32),
+             rng.normal(0, 1, m).astype(np.float32))
+        )
+    got = dtw_banded_batch_host(pairs, band_radius=r)
+    for (a, b), g in zip(pairs, got):
+        want = dtw_banded_vec(a, b, r)
+        assert abs(g - want) < 1e-2 * max(1.0, abs(want)), (g, want)
