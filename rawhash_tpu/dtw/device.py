@@ -2,10 +2,15 @@
 
 The reference's antidiagonal-wavefront slanted-band DTW (dtw.cpp:273-520) is
 already shaped for SIMD; here the same recurrence advances one column of the
-band per lax.scan step, with the 2r+1-wide band living in vector lanes and
-many alignment problems batched in the leading axis — the TPU-native layout
-for the sparse (anchor-to-anchor) chain evaluation where thousands of small
+band per lax.scan step, with the band living in vector lanes and many
+alignment problems batched in the leading axis — the TPU-native layout for
+the sparse (anchor-to-anchor) chain evaluation where thousands of small
 alignments run at once.
+
+Each problem carries its own runtime band radius (the reference sizes the
+band as a fraction of the query length per segment, rmap.cpp:155,189); the
+kernel's static width is the batch maximum, and narrower rows simply mask
+the outer lanes to BIG.
 
 The top-coupling inside a column (new[o] depends on new[o-1]) is solved with
 the prefix-min identity used by dtw/banded.py:
@@ -19,18 +24,20 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BIG = jnp.float32(1e10)
 
 
-@functools.partial(jax.jit, static_argnames=("band_radius", "max_len"))
+@functools.partial(jax.jit, static_argnames=("max_radius", "max_len"))
 def dtw_banded_batch(
     a: jnp.ndarray,  # f32 [B, max_len]  (the longer sequence per pair)
     a_len: jnp.ndarray,  # i32 [B]
     b: jnp.ndarray,  # f32 [B, max_len]
     b_len: jnp.ndarray,  # i32 [B]
+    radius: jnp.ndarray,  # i32 [B]  per-pair band radius (<= max_radius)
     *,
-    band_radius: int,
+    max_radius: int,
     max_len: int,
 ):
     """Banded DTW cost for B padded sequence pairs.
@@ -39,14 +46,20 @@ def dtw_banded_batch(
     wrapper below handles the swap).  Returns f32 [B] total |a-b| warping
     cost with global borders."""
     bsz = a.shape[0]
-    r = band_radius
+    r = max_radius
     width = 2 * r + 1
     offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    radius = jnp.minimum(radius.astype(jnp.int32), r)
 
-    # first column: cumulative cost down rows 0..min(r, blen-1)
+    # first column: cumulative cost down rows 0..min(radius, blen-1)
     j0 = jnp.arange(width, dtype=jnp.int32) - r
+    ok0 = (
+        (j0[None, :] >= 0)
+        & (j0[None, :] < b_len[:, None])
+        & (j0[None, :] <= radius[:, None])
+    )
     col0 = jnp.where(
-        (j0[None, :] >= 0) & (j0[None, :] < b_len[:, None]),
+        ok0,
         jnp.abs(a[:, :1] - jnp.take_along_axis(
             b, jnp.clip(j0, 0, max_len - 1)[None, :].repeat(bsz, 0), axis=1
         )),
@@ -67,7 +80,11 @@ def dtw_banded_batch(
         inc = (nxt * a_len) <= (b_len * i)
         center2 = jnp.where(inc & alive, nxt, center)
         j = center2[:, None] + offs[None, :]
-        valid = (j >= 0) & (j < b_len[:, None])
+        valid = (
+            (j >= 0)
+            & (j < b_len[:, None])
+            & (jnp.abs(offs)[None, :] <= radius[:, None])
+        )
         a_i = jnp.take_along_axis(a, jnp.clip(i, 0, max_len - 1)[None, None].repeat(bsz, 0)[:, 0][:, None], axis=1)
         cost = jnp.abs(
             a_i - jnp.take_along_axis(b, jnp.clip(j, 0, max_len - 1), axis=1)
@@ -76,10 +93,10 @@ def dtw_banded_batch(
         up1 = jnp.concatenate([jnp.full((bsz, 1), BIG), dp[:, :-1]], axis=1)
         left = jnp.where(inc[:, None], shifted, dp)
         topleft = jnp.where(inc[:, None], dp, up1)
-        # reference guard: at the band's lower edge after a slide, topleft is
-        # only real when center + (-r) > 0
+        # reference guard: after a slide, the slot whose target row is j==0
+        # has no (i-1, j-1) predecessor (only real when center + off > 0)
         edge_slot = jnp.clip(r - center2, 0, width - 1)
-        tl_fix = (center2 - r) <= 0
+        tl_fix = (center2 - radius) <= 0
         topleft = jnp.where(
             inc[:, None]
             & tl_fix[:, None]
@@ -103,22 +120,34 @@ def dtw_banded_batch(
     return jnp.take_along_axis(dp, out_slot[:, None], axis=1)[:, 0]
 
 
-def dtw_banded_batch_host(pairs, band_radius: int):
+def _pow2_at_least(x: int, lo: int) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+def dtw_banded_batch_host(pairs, band_radius):
     """Host wrapper: [(a, b)] float32 pairs -> costs [len(pairs)].
 
+    `band_radius` is an int applied to every pair or a per-pair sequence.
     Handles the longer-sequence swap and padding, then runs one device
-    program for the whole batch."""
-    import numpy as np
-
+    program for the whole batch.  Pad sizes are bucketed to powers of two so
+    the jitted kernel compiles only O(log^2) variants."""
     if not pairs:
         return np.zeros(0, dtype=np.float32)
+    bsz = len(pairs)
+    if np.isscalar(band_radius):
+        radii = np.full(bsz, int(band_radius), dtype=np.int32)
+    else:
+        radii = np.asarray(band_radius, dtype=np.int32)
     swapped = []
     for x, y in pairs:
         if x.shape[0] < y.shape[0]:
             x, y = y, x
         swapped.append((x, y))
-    max_len = max(x.shape[0] for x, _ in swapped)
-    bsz = len(swapped)
+    max_len = _pow2_at_least(max(x.shape[0] for x, _ in swapped), 16)
+    max_radius = _pow2_at_least(int(radii.max()), 4)
     a = np.zeros((bsz, max_len), dtype=np.float32)
     b = np.zeros((bsz, max_len), dtype=np.float32)
     a_len = np.zeros(bsz, dtype=np.int32)
@@ -130,6 +159,6 @@ def dtw_banded_batch_host(pairs, band_radius: int):
         b_len[i] = y.shape[0]
     out = dtw_banded_batch(
         jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len),
-        band_radius=band_radius, max_len=max_len,
+        jnp.asarray(radii), max_radius=max_radius, max_len=max_len,
     )
     return np.asarray(out)

@@ -421,6 +421,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     c = st.chunk_idx
     now = time.perf_counter()
     t_host = now
+    pending = []  # (i, regs, chain_axy) awaiting DTW + decision
     for i in range(st.b):
         if not st.active[i]:
             continue
@@ -439,11 +440,6 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             h_key[i], h_tpos[i], h_qpos[i], h_nanc[i],
             h_f[i], h_p[i], int(h_evoff[i]),
         )
-        if is_dtw and regs:
-            engine._dtw_evaluate(
-                regs, chain_axy, np.concatenate(st.all_events[i])
-            )
-        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
         st.last_regs[i] = regs
         npv = min(px.shape[0], st.p_cap)
         if px.shape[0] > st.p_cap:
@@ -453,7 +449,22 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         st.prev_tpos[i, :npv] = t2
         st.prev_qpos[i, :npv] = q2
         st.n_prev[i] = npv
+        pending.append((i, regs, chain_axy))
 
+    if is_dtw:
+        # all reads' chain segments in one batched device DTW program
+        from ..dtw.evaluate import evaluate_chains_batched
+
+        jobs = [
+            (regs, bx, by, np.concatenate(st.all_events[i]))
+            for i, regs, (bx, by) in pending
+            if regs
+        ]
+        if jobs:
+            evaluate_chains_batched(jobs, engine.index, mo)
+
+    for i, regs, _ in pending:
+        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
         ids, done = engine._decide(regs, is_dtw)
         if done:
             st.map_ids[i] = ids
@@ -585,22 +596,4 @@ def _tags_impl(self, mt_ms, ci, sl, cm, nc, s1):
     )
 
 
-def _dtw_evaluate_impl(self, regs, chain_axy, read_events):
-    """DTW chain evaluation (reference: align_chain, rmap.cpp:128-208)."""
-    from ..dtw.host import align_chain_host
-
-    mo = self.mopt
-    best_found = 0.0
-    bx, by = chain_axy
-    for r in regs:
-        align_chain_host(
-            r, bx, by, self.index, read_events, mo, min_score=best_found
-        )
-        if r.alignment_score >= mo.dtw_min_score:
-            best_found = max(best_found, r.alignment_score)
-        elif r.alignment_score < mo.dtw_min_score and r.alignment_score < 0:
-            r.alignment_score = 0.0 if mo.dtw_min_score > 0 else mo.dtw_min_score
-
-
 MappingEngine._tags = _tags_impl
-MappingEngine._dtw_evaluate = _dtw_evaluate_impl

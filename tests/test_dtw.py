@@ -130,3 +130,93 @@ def test_device_banded_batch_matches_host(r):
     for (a, b), g in zip(pairs, got):
         want = dtw_banded_vec(a, b, r)
         assert abs(g - want) < 1e-2 * max(1.0, abs(want)), (g, want)
+
+
+def test_device_banded_batch_per_pair_radii():
+    """Each pair carries its own band radius (the sparse chain-evaluation
+    shape: radius = frac * query length per segment)."""
+    from rawhash_tpu.dtw.banded import dtw_banded_vec
+    from rawhash_tpu.dtw.device import dtw_banded_batch_host
+
+    rng = np.random.default_rng(23)
+    pairs, radii = [], []
+    for _ in range(10):
+        n = int(rng.integers(8, 90))
+        m = int(rng.integers(8, 90))
+        pairs.append(
+            (rng.normal(0, 1, n).astype(np.float32),
+             rng.normal(0, 1, m).astype(np.float32))
+        )
+        radii.append(max(1, int(rng.integers(1, 16))))
+    got = dtw_banded_batch_host(pairs, band_radius=radii)
+    for (a, b), r, g in zip(pairs, radii, got):
+        want = dtw_banded_vec(a, b, r)
+        assert abs(g - want) < 1e-2 * max(1.0, abs(want)), (g, want, r)
+
+
+def test_evaluate_chains_batched_matches_sequential():
+    """The batched evaluator replays align_chain's sequential accumulation
+    exactly (reference: rmap.cpp:128-208): same scores as the per-chain
+    host path including early termination and clamping."""
+    from rawhash_tpu.chain.regions import Region
+    from rawhash_tpu.config import MapOptions
+    from rawhash_tpu.dtw.evaluate import evaluate_chains_batched
+    from rawhash_tpu.dtw.host import align_chain_host
+
+    rng = np.random.default_rng(31)
+
+    class FakeIndex:
+        F = [rng.normal(0, 1, 800).astype(np.float32)]
+        R = [rng.normal(0, 1, 800).astype(np.float32)]
+
+    mopt = MapOptions()
+    read_events = rng.normal(0, 1, 400).astype(np.float32)
+
+    def mk_jobs():
+        jobs = []
+        for _ in range(3):
+            regs, n_anchor_lists = [], []
+            bx_parts, by_parts = [], []
+            as_ = 0
+            for ci in range(int(rng.integers(1, 4))):
+                cnt = int(rng.integers(2, 7))
+                tp = np.sort(rng.integers(0, 700, cnt)).astype(np.uint64)
+                qp = np.sort(rng.integers(0, 350, cnt)).astype(np.uint64)
+                bx_parts.append(tp)
+                by_parts.append(qp)
+                r = Region(
+                    rid=0, rev=int(rng.integers(0, 2)),
+                    rs=int(tp[0]), re=int(tp[-1]),
+                    qs=int(qp[0]), qe=int(qp[-1]),
+                    score=50, cnt=cnt, as_=as_,
+                )
+                as_ += cnt
+                regs.append(r)
+            bx = np.concatenate(bx_parts)
+            by = np.concatenate(by_parts)
+            jobs.append((regs, bx, by, read_events))
+        return jobs
+
+    jobs = mk_jobs()
+    # sequential oracle
+    want = []
+    for regs, bx, by, ev in jobs:
+        best_found = 0.0
+        scores = []
+        for r in regs:
+            align_chain_host(r, bx, by, FakeIndex, ev, mopt, min_score=best_found)
+            if r.alignment_score >= mopt.dtw_min_score:
+                best_found = max(best_found, r.alignment_score)
+            elif r.alignment_score < mopt.dtw_min_score and r.alignment_score < 0:
+                r.alignment_score = (
+                    0.0 if mopt.dtw_min_score > 0 else mopt.dtw_min_score
+                )
+            scores.append(r.alignment_score)
+        want.append(scores)
+
+    evaluate_chains_batched(jobs, FakeIndex, mopt)
+    for (regs, _, _, _), ws in zip(jobs, want):
+        for r, w in zip(regs, ws):
+            assert abs(r.alignment_score - w) < 1e-2 * max(1.0, abs(w)), (
+                r.alignment_score, w,
+            )
