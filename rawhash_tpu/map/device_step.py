@@ -29,22 +29,20 @@ U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
 class ChunkOut(NamedTuple):
-    # transfer-packed outputs: qpos/f/p ride int16 (event offsets < 2^15,
-    # chain scores < 2^15 for real spans, predecessor indices < N <= 2^15);
-    # the host unpacks (engine._process_chunk)
-    key: jnp.ndarray  # u32 [B, N] sorted anchors (sentinel U32_MAX pad)
-    tpos: jnp.ndarray  # i32 [B, N]
-    qpos: jnp.ndarray  # i16 [B, N]
-    n_anchors: jnp.ndarray  # i32 [B]
-    f: jnp.ndarray  # i16 [B, N]
-    p: jnp.ndarray  # i16 [B, N]
-    rep_len: jnp.ndarray  # i32 [B]
-    n_events: jnp.ndarray  # i32 [B]
-    processed: jnp.ndarray  # bool [B] (n_events >= min_events)
-    events: jnp.ndarray  # f32 [B, E] this chunk's events (for DTW)
-    hit_overflow: jnp.ndarray  # i32 [B] dropped hits (a_cap saturation)
+    # every per-anchor output rides ONE int16 buffer so the host pays a
+    # single dispatch+D2H round trip per chunk (the tunnel charges ~3 ms per
+    # program; fetching 11 arrays separately cost ~400 ms/chunk).  Word
+    # layout along the last axis (qpos/f/p fit int16: event offsets < 2^15,
+    # chain scores < 2^15 for real spans, predecessor indices < N <= 2^15):
+    #   0 key_lo, 1 key_hi, 2 tpos_lo, 3 tpos_hi, 4 qpos, 5 f, 6 p
+    packed: jnp.ndarray  # i16 [B, N, 7] sorted anchors (key sentinel U32_MAX)
+    # per-read scalar block, one small transfer:
+    #   0 n_anchors, 1 rep_len, 2 n_events, 3 processed, 4 hit_overflow,
+    #   5 ev_offset
+    scalars: jnp.ndarray  # i32 [B, 6]
+    events: jnp.ndarray  # f16 [B, E] this chunk's events (for DTW)
     carry: NormCarry
-    ev_offset: jnp.ndarray  # i32 [B] updated event offset
+    ev_offset: jnp.ndarray  # i32 [B] updated event offset (device-resident)
 
 
 @functools.partial(
@@ -180,15 +178,28 @@ def chunk_step(
 
     n_total = s_key.shape[1]
     assert n_total < (1 << 15), "anchor capacity must fit int16 packing"
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(s_key, jnp.int16),  # [B,N,2] lo,hi
+            jax.lax.bitcast_convert_type(s_tpos, jnp.int16),
+            jnp.clip(s_qpos, -32768, 32767).astype(jnp.int16)[:, :, None],
+            jnp.clip(f, -32768, 32767).astype(jnp.int16)[:, :, None],
+            p.astype(jnp.int16)[:, :, None],
+        ],
+        axis=2,
+    )
+    scalars = jnp.stack(
+        [
+            n_anchors, rep_len, n_ev,
+            processed.astype(jnp.int32), overflow.astype(jnp.int32),
+            ev_offset2,
+        ],
+        axis=1,
+    ).astype(jnp.int32)
     return ChunkOut(
-        key=s_key, tpos=s_tpos,
-        qpos=jnp.clip(s_qpos, -32768, 32767).astype(jnp.int16),
-        n_anchors=n_anchors,
-        f=jnp.clip(f, -32768, 32767).astype(jnp.int16),
-        p=p.astype(jnp.int16),
-        rep_len=rep_len, n_events=n_ev, processed=processed,
+        packed=packed, scalars=scalars,
         events=events.astype(jnp.float16) if keep_events
         else jnp.zeros((b, 1), jnp.float16),
-        hit_overflow=overflow, carry=carry2,
+        carry=carry2,
         ev_offset=ev_offset2,
     )

@@ -124,9 +124,6 @@ class MappingEngine:
         self._sorted_names = [index.seq_names[i] for i in order]
         self._jnp = jnp
         self.stats = {"hit_overflow": 0, "prev_overflow": 0, "reads": 0, "mapped": 0}
-        # adaptive D2H width: transfer only the live anchor prefix, sized
-        # from recent batches (anchors are sorted valid-first)
-        self._ncut = None
 
     # ---------- helpers ----------
 
@@ -388,32 +385,32 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     t_wait = time.perf_counter()
-    # anchors are sorted valid-first: transfer only a prefix of the [B, N]
-    # arrays, with the width learned from recent batches (no blocking
-    # dependency); rows that overflow the guess fall back to a full fetch
-    ncols = out.key.shape[1]
-    ncut = engine._ncut if engine._ncut is not None else ncols
-    h_key = np.asarray(out.key[:, :ncut])
-    h_tpos = np.asarray(out.tpos[:, :ncut])
-    h_qpos = np.asarray(out.qpos[:, :ncut]).astype(np.int32)
-    h_f = np.asarray(out.f[:, :ncut]).astype(np.int32)
-    h_p = np.asarray(out.p[:, :ncut]).astype(np.int32)
-    h_nanc = np.asarray(out.n_anchors)
+    # two D2H round trips per chunk: the tiny scalar block first (gives the
+    # exact live-anchor width), then ONE packed fetch of that prefix
+    # (anchors are sorted valid-first; width rounds up to 128 so the slice
+    # program compiles only a handful of variants)
+    h_scal = np.asarray(out.scalars)
+    h_nanc = h_scal[:, 0]
+    h_rep = h_scal[:, 1]
+    h_nev = h_scal[:, 2]
+    h_proc = h_scal[:, 3] != 0
+    h_evoff = h_scal[:, 5]
+    ncols = out.packed.shape[1]
     nmax = int(h_nanc.max()) if h_nanc.size else 0
-    if nmax > ncut:
-        h_key = np.asarray(out.key)
-        h_tpos = np.asarray(out.tpos)
-        h_qpos = np.asarray(out.qpos).astype(np.int32)
-        h_f = np.asarray(out.f).astype(np.int32)
-        h_p = np.asarray(out.p).astype(np.int32)
-    engine._ncut = min(ncols, max(128, ((nmax + nmax // 4) + 127) & ~127))
-    h_rep = np.asarray(out.rep_len)
-    h_nev = np.asarray(out.n_events)
-    h_proc = np.asarray(out.processed)
-    h_evoff = np.asarray(out.ev_offset)
-    engine.stats["hit_overflow"] += int(
-        np.asarray(out.hit_overflow)[st.active].sum()
+    ncut = min(ncols, max(128, (nmax + 127) & ~127))
+    hp = np.asarray(out.packed[:, :ncut, :])
+    h_key = (
+        hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+        | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
     )
+    h_tpos = (
+        hp[:, :, 2].astype(np.uint16).astype(np.uint32)
+        | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
+    ).view(np.int32)
+    h_qpos = hp[:, :, 4].astype(np.int32)
+    h_f = hp[:, :, 5].astype(np.int32)
+    h_p = hp[:, :, 6].astype(np.int32)
+    engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
         h_events = np.asarray(out.events).astype(np.float32)
     engine.profiler.add("device+transfer", time.perf_counter() - t_wait)

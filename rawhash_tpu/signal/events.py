@@ -61,20 +61,30 @@ def dense_compact(values: jnp.ndarray, keep: jnp.ndarray):
     return out[:, :l], jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
+def _shift_right(x, w: int):
+    """y[:, i] = x[:, max(i - w, 0)] without a gather (pure pad+slice —
+    per-row take_along_axis gathers are ~3 ms each on TPU; shifts are free)."""
+    return jnp.concatenate([jnp.repeat(x[:, :1], w, axis=1), x[:, :-w]], axis=1)
+
+
+def _shift_left(x, w: int):
+    """y[:, i] = x[:, min(i + w, last)] without a gather."""
+    return jnp.concatenate([x[:, w:], jnp.repeat(x[:, -1:], w, axis=1)], axis=1)
+
+
 def _tstat(prefix, prefix_sq, n_sig, w: int):
     """t-stat over two adjacent w-windows; zero outside [w, n_sig - w]
-    (reference: comp_tstat, revent.c:38-74)."""
+    (reference: comp_tstat, revent.c:38-74).  All window lookups are uniform
+    shifts of the prefix arrays, so they lower to slices, not gathers."""
     b, lp1 = prefix.shape
     l = lp1 - 1
     i = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
-    im = jnp.clip(i - w, 0, l)
-    ip = jnp.clip(i + w, 0, l)
-    p_i = jnp.take_along_axis(prefix, i, axis=1)
-    p_im = jnp.take_along_axis(prefix, im, axis=1)
-    p_ip = jnp.take_along_axis(prefix, ip, axis=1)
-    q_i = jnp.take_along_axis(prefix_sq, i, axis=1)
-    q_im = jnp.take_along_axis(prefix_sq, im, axis=1)
-    q_ip = jnp.take_along_axis(prefix_sq, ip, axis=1)
+    p_i = prefix[:, :l]
+    p_im = _shift_right(prefix, w)[:, :l]
+    p_ip = _shift_left(prefix, w)[:, :l]
+    q_i = prefix_sq[:, :l]
+    q_im = _shift_right(prefix_sq, w)[:, :l]
+    q_ip = _shift_left(prefix_sq, w)[:, :l]
     sum1 = jnp.where(i > w, p_i - p_im, p_i)
     sumsq1 = jnp.where(i > w, q_i - q_im, q_i)
     sum2 = p_ip - p_i
@@ -164,38 +174,49 @@ def _gen_peaks(tstat1, tstat2, n_sig, t1, t2, w1: int, w2: int, peak_height):
         jnp.swapaxes(tstat1, 0, 1),
         jnp.swapaxes(tstat2, 0, 1),
     )
-    _, emits = jax.lax.scan(step, init, xs)  # [L, B, 2]
+    # unroll amortizes the per-step loop overhead of the [B]-wide state
+    # machine (measured ~1.5x on TPU v5e at 4096 steps)
+    _, emits = jax.lax.scan(step, init, xs, unroll=16)  # [L, B, 2]
     return jnp.swapaxes(emits, 0, 1).reshape(b, 2 * l)
 
 
-def _segment_events(norm, n_sig, peaks, n_peaks, e_cap: int):
+def _segment_events(norm, n_sig, emitted, emit_ok, n_peaks, e_cap: int):
     """Events = IQR-filtered means of the segments between consecutive peaks
-    (reference: gen_events + calculate_mean_of_filtered_segment)."""
+    (reference: gen_events + calculate_mean_of_filtered_segment).
+
+    `emitted`/`emit_ok` are the raw peak emissions [B, 2L]; segment ids are
+    the running count of peaks at-or-before each position, computed as an
+    indicator scatter + cumsum (a vmapped searchsorted here costs ~40 ms on
+    TPU — 13 levels of per-row gathers; the scatter+cumsum is ~5 ms)."""
     b, l = norm.shape
     n_ev = jnp.minimum(n_peaks, e_cap)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
-    seg = jax.vmap(lambda pk, p: jnp.searchsorted(pk, p, side="right"))(
-        peaks, pos
-    ).astype(jnp.int32)
+    # seg[p] = #{emitted peaks <= p}  (searchsorted(sorted_peaks, p, 'right'))
+    erows = jax.lax.broadcasted_iota(jnp.int32, emitted.shape, 0)
+    ind = (
+        jnp.zeros((b, l + 1), jnp.int32)
+        .at[erows, jnp.where(emit_ok, jnp.minimum(emitted, l), l)]
+        .add(1, mode="drop")[:, :l]
+    )
+    seg = jnp.cumsum(ind, axis=1)
     invalid = (seg >= n_ev[:, None]) | (pos >= n_sig[:, None])
     seg = jnp.where(invalid, e_cap, seg)
 
     # per-row (segment major, value minor) lexicographic sort
     seg_s, val_s = jax.lax.sort((seg, norm), dimension=1, num_keys=2)
 
-    queries = jnp.arange(e_cap + 1, dtype=jnp.int32)
-    seg_start = jax.vmap(lambda s: jnp.searchsorted(s, queries, side="left"))(
-        seg_s
-    ).astype(jnp.int32)  # [B, e_cap+1]
-    seg_len = (
-        jax.vmap(lambda s: jnp.searchsorted(s, queries, side="right"))(seg_s).astype(
-            jnp.int32
-        )
-        - seg_start
+    # segment boundaries: per-segment counts (scatter) -> exclusive cumsum
+    # (replaces two vmapped searchsorted passes, ~20 ms -> ~3 ms)
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
+    cnt_all = (
+        jnp.zeros((b, e_cap + 1), jnp.int32)
+        .at[rows_l, jnp.minimum(seg, e_cap)]
+        .add(1)
     )
-    starts = seg_start[:, :e_cap]
-    lens = seg_len[:, :e_cap]
+    bound = jnp.cumsum(cnt_all[:, :e_cap], axis=1)
+    starts = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), bound[:, :-1]], axis=1)
+    lens = cnt_all[:, :e_cap]
     q1_idx = jnp.clip(starts + lens // 4, 0, l - 1)
     q3_idx = jnp.clip(starts + (3 * lens) // 4, 0, l - 1)
     q1 = jnp.take_along_axis(val_s, q1_idx, axis=1)
@@ -282,9 +303,7 @@ def detect_events_batch(
         window_length1, window_length2, peak_height,
     )
     ok = (emitted > 0) & (emitted < n_sig[:, None])
-    peaks = jnp.where(ok, emitted, BIG_I32)
-    peaks = jax.lax.sort(peaks, dimension=1)
     n_peaks = jnp.sum(ok, axis=1).astype(jnp.int32)
 
-    events, n_ev = _segment_events(normc, n_sig, peaks, n_peaks, e_cap)
+    events, n_ev = _segment_events(normc, n_sig, emitted, ok, n_peaks, e_cap)
     return events, n_ev, NormCarry(new_sum, new_sumsq, new_n)

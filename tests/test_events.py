@@ -103,9 +103,11 @@ def test_device_segment_means_match_host_iqr():
     peaks = np.sort(rng.choice(np.arange(1, L), size=60, replace=False))
     pk_pad = np.full((1, 2 * L), 0x7FFFFFFF, dtype=np.int32)
     pk_pad[0, : len(peaks)] = peaks
+    ok = (pk_pad > 0) & (pk_pad < L)
     ev, n_ev = E._segment_events(
         jnp.asarray(norm), jnp.asarray([L], dtype=np.int32),
-        jnp.asarray(pk_pad), jnp.asarray([len(peaks)], dtype=np.int32), e_cap
+        jnp.asarray(pk_pad), jnp.asarray(ok),
+        jnp.asarray([len(peaks)], dtype=np.int32), e_cap
     )
     ev = np.asarray(ev)[0]
     start = 0
