@@ -20,9 +20,9 @@ BASELINE_D1_BPS = 625_160.0  # reference 32-thread CPU, D1 SARS-CoV-2
 
 def main():
     genome_len = 30_000  # SARS-CoV-2 scale
-    n_reads = 576
+    batch = 256
+    n_reads = 5 * batch  # 1 warmup batch + 4 timed, all the same XLA shape
     read_len = 1200
-    batch = 64
 
     from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
     from rawhash_tpu.index.build import build_index_from_sequences

@@ -118,4 +118,234 @@ int32_t rh_chain_tail(
     return n_u;
 }
 
+// ---------------------------------------------------------------------------
+// Region pipeline: chains -> regions -> primary/secondary -> pruning.
+// Semantics match chain/regions.py::gen_regs + set_parent + select_sub +
+// _sync_regs exactly (reference: mm_gen_regs/mm_set_parent/mm_select_sub/
+// mm_sync_regs, hit.c); tests assert equality against the python oracle.
+
+static inline uint64_t rh_hash64(uint64_t key) {
+    key = ~key + (key << 21);
+    key = key ^ (key >> 24);
+    key = key + (key << 3) + (key << 8);
+    key = key ^ (key >> 14);
+    key = key + (key << 2) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+struct RhReg {
+    int64_t id, parent, score, score0, cnt, as_, rev, rid;
+    int64_t rs, re, qs, qe, mlen, blen, n_sub, subsc;
+    int64_t inv, is_alt, strand_retained;
+    uint64_t hash;
+};
+
+// Output row layout (int64 x 20 per region), matching the ctypes wrapper:
+//  0 id, 1 parent, 2 score, 3 score0, 4 hash, 5 cnt, 6 as_, 7 rev, 8 rid,
+//  9 rs, 10 re, 11 qs, 12 qe, 13 mlen, 14 blen, 15 n_sub, 16 subsc,
+// 17 inv, 18 is_alt, 19 strand_retained
+extern "C" int32_t rh_gen_regions(
+    uint32_t read_hash, int32_t n_u,
+    const int64_t* u,            // [n_u][2] (score, cnt), target-sorted
+    const uint64_t* ax, const uint64_t* ay,
+    double mask_level, int32_t mask_len, int32_t hard_mask_level,
+    double alt_diff_frac,
+    int32_t do_select,           // 0 in ALL_CHAINS mode
+    double pri_ratio, int32_t best_n, int32_t check_strand,
+    int32_t min_strand_sc,
+    int64_t* out)
+{
+    if (n_u <= 0) return 0;
+    const uint64_t SPAN_MASK = 0x3F;  // (1 << RI_HASH_SHIFT) - 1
+
+    std::vector<int64_t> starts(n_u), lasts(n_u);
+    {
+        int64_t off = 0;
+        for (int32_t c = 0; c < n_u; ++c) {
+            starts[c] = off;
+            off += u[2 * c + 1];
+            lasts[c] = off - 1;
+        }
+    }
+
+    // zx = ((score<<32)|cnt) ^ (hash64(hash64(ax0)+hash64(ay0) ^ rh) & M32)
+    std::vector<uint64_t> zx(n_u);
+    for (int32_t c = 0; c < n_u; ++c) {
+        uint64_t h = rh_hash64(
+            (rh_hash64(ax[starts[c]]) + rh_hash64(ay[starts[c]])) ^
+            (uint64_t)read_hash) & 0xFFFFFFFFULL;
+        zx[c] = (((uint64_t)u[2 * c] << 32) | (uint64_t)u[2 * c + 1]) ^ h;
+    }
+
+    // fuzzy match lengths per chain (mm_cal_fuzzy_len, hit.c:10-64)
+    std::vector<int64_t> mlen(n_u), blen(n_u);
+    for (int32_t c = 0; c < n_u; ++c) {
+        int64_t span0 = (int64_t)((ay[starts[c]] >> 32) & SPAN_MASK);
+        int64_t bl = span0, ml = span0;
+        for (int64_t j = starts[c] + 1; j <= lasts[c]; ++j) {
+            int64_t span = (int64_t)((ay[j] >> 32) & SPAN_MASK);
+            int64_t tl = (int64_t)(ax[j] & 0xFFFFFFFFULL) -
+                         (int64_t)(ax[j - 1] & 0xFFFFFFFFULL);
+            int64_t ql = (int64_t)(ay[j] & 0xFFFFFFFFULL) -
+                         (int64_t)(ay[j - 1] & 0xFFFFFFFFULL);
+            int64_t mn = tl < ql ? tl : ql;
+            int64_t mx = tl > ql ? tl : ql;
+            bl += mx;
+            ml += ((tl > span && ql > span) ? span : mn) + mn;
+        }
+        blen[c] = bl;
+        mlen[c] = ml;
+    }
+
+    // sort descending by zx; equal keys keep REVERSED original order
+    // (python: np.argsort(kind="stable")[::-1])
+    std::vector<int32_t> order(n_u);
+    for (int32_t c = 0; c < n_u; ++c) order[c] = c;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) { return zx[a] < zx[b]; });
+    std::reverse(order.begin(), order.end());
+
+    std::vector<RhReg> regs(n_u);
+    for (int32_t i = 0; i < n_u; ++i) {
+        int32_t c = order[i];
+        RhReg& r = regs[i];
+        uint64_t x0 = ax[starts[c]];
+        r.id = i;
+        r.parent = -1;
+        r.score = r.score0 = (int64_t)(zx[c] >> 32);
+        r.hash = zx[c] & 0xFFFFFFFFULL;
+        r.cnt = u[2 * c + 1];
+        r.as_ = starts[c];
+        r.rev = (int64_t)(x0 >> 63);
+        r.rid = (int64_t)((x0 >> 32) & 0x7FFFFFFFULL);
+        r.rs = (int64_t)(x0 & 0xFFFFFFFFULL);
+        r.re = (int64_t)(ax[lasts[c]] & 0xFFFFFFFFULL) + 1;
+        r.qs = (int64_t)(ay[starts[c]] & 0xFFFFFFFFULL);
+        r.qe = (int64_t)(ay[lasts[c]] & 0xFFFFFFFFULL) + 1;
+        r.mlen = mlen[c];
+        r.blen = blen[c];
+        r.n_sub = 0; r.subsc = 0;
+        r.inv = 0; r.is_alt = 0; r.strand_retained = 0;
+    }
+
+    // set_parent (mm_set_parent, hit.c:195-263)
+    {
+        std::vector<int32_t> w;
+        w.reserve(n_u);
+        w.push_back(0);
+        regs[0].parent = 0;
+        for (int32_t i = 1; i < n_u; ++i) {
+            RhReg& ri = regs[i];
+            int64_t si = ri.qs, ei = ri.qe;
+            int64_t uncov_len = 0;
+            if (!hard_mask_level) {
+                std::vector<std::pair<int64_t, int64_t>> cov;
+                for (int32_t wj : w) {
+                    const RhReg& rp = regs[wj];
+                    if (rp.qe <= si || rp.qs >= ei) continue;
+                    cov.emplace_back(std::max(rp.qs, si), std::min(rp.qe, ei));
+                }
+                if (cov.empty()) {
+                    w.push_back(i);
+                    ri.parent = i;
+                    ri.n_sub = 0;
+                    continue;
+                }
+                std::sort(cov.begin(), cov.end());
+                int64_t x = si;
+                for (auto& se : cov) {
+                    if (se.first > x) uncov_len += se.first - x;
+                    x = std::max(se.second, x);
+                }
+                if (ei > x) uncov_len += ei - x;
+            }
+            bool placed = false;
+            for (int32_t wj : w) {
+                RhReg& rp = regs[wj];
+                int64_t sj = rp.qs, ej = rp.qe;
+                if (ej <= si || sj >= ei) continue;
+                int64_t mn = std::min(ej - sj, ei - si);
+                int64_t mx = std::max(ej - sj, ei - si);
+                int64_t ol;
+                if (si < sj) ol = ei < sj ? 0 : (ei < ej ? ei - sj : ej - sj);
+                else ol = ej < si ? 0 : (ej < ei ? ej - si : ei - si);
+                if (((double)ol / (double)mn -
+                     (double)uncov_len / (double)mx) > mask_level &&
+                    uncov_len <= mask_len) {
+                    int64_t sci = ri.score;
+                    ri.parent = rp.parent;
+                    if (!rp.is_alt && ri.is_alt) {
+                        if (sci >= 0) {
+                            sci = (int64_t)((double)sci *
+                                            (1.0 - alt_diff_frac) + 0.499);
+                            if (sci <= 0) sci = 1;
+                        }
+                    }
+                    rp.subsc = std::max(rp.subsc, sci);
+                    if (ri.cnt >= rp.cnt) rp.n_sub += 1;
+                    placed = true;
+                    break;
+                }
+            }
+            if (!placed) {
+                w.push_back(i);
+                ri.parent = i;
+                ri.n_sub = 0;
+            }
+        }
+    }
+
+    // select_sub + sync (mm_select_sub + mm_sync_regs, hit.c:312-367)
+    std::vector<int32_t> keep;
+    keep.reserve(n_u);
+    if (do_select && pri_ratio > 0.0) {
+        int32_t n_2nd = 0;
+        for (int32_t i = 0; i < n_u; ++i) {
+            const RhReg& r = regs[i];
+            int64_t p = r.parent;
+            if (p == i || r.inv) {
+                keep.push_back(i);
+            } else if ((double)r.score >= (double)regs[p].score * pri_ratio &&
+                       n_2nd < best_n) {
+                const RhReg& rp = regs[p];
+                if (!(r.qs == rp.qs && r.qe == rp.qe && r.rid == rp.rid &&
+                      r.rs == rp.rs && r.re == rp.re)) {
+                    keep.push_back(i);
+                    ++n_2nd;
+                }
+            } else if (check_strand && n_2nd < best_n &&
+                       r.score > min_strand_sc && r.rev != regs[p].rev) {
+                regs[i].strand_retained = 1;
+                keep.push_back(i);
+                ++n_2nd;
+            }
+        }
+    } else {
+        for (int32_t i = 0; i < n_u; ++i) keep.push_back(i);
+    }
+
+    // sync: remap ids/parents to positions in the kept list
+    std::vector<int32_t> new_of_old(n_u, -1);
+    for (size_t i = 0; i < keep.size(); ++i) new_of_old[keep[i]] = (int32_t)i;
+    for (size_t i = 0; i < keep.size(); ++i) {
+        RhReg r = regs[keep[i]];
+        int64_t old_parent = r.parent;
+        r.id = (int64_t)i;
+        if (old_parent == -2) r.parent = (int64_t)i;  // PARENT_TMP_PRI
+        else if (old_parent >= 0 && new_of_old[old_parent] >= 0)
+            r.parent = new_of_old[old_parent];
+        else if ((int64_t)keep.size() != (int64_t)n_u)
+            r.parent = -1;
+        int64_t* o = out + 20 * i;
+        o[0] = r.id; o[1] = r.parent; o[2] = r.score; o[3] = r.score0;
+        o[4] = (int64_t)r.hash; o[5] = r.cnt; o[6] = r.as_; o[7] = r.rev;
+        o[8] = r.rid; o[9] = r.rs; o[10] = r.re; o[11] = r.qs; o[12] = r.qe;
+        o[13] = r.mlen; o[14] = r.blen; o[15] = r.n_sub; o[16] = r.subsc;
+        o[17] = r.inv; o[18] = r.is_alt; o[19] = r.strand_retained;
+    }
+    return (int32_t)keep.size();
+}
+
 }  // extern "C"

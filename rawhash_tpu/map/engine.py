@@ -242,16 +242,27 @@ class MappingEngine:
         h = 0
         h ^= (wang_hash32(ev_total) + wang_hash32(11)) & 0xFFFFFFFF
         h = wang_hash32(h)
-        regs = gen_regs(h, u_s.shape[0], u_s, bx, by)
-        set_parent(
-            regs, mo.mask_level, mo.mask_len,
+        all_chains = bool(mo.flag & MapFlag.ALL_CHAINS)
+        from .._native import gen_regions_native
+
+        regs = gen_regions_native(
+            h, u_s, bx, by,
+            mo.mask_level, mo.mask_len,
             bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
+            not all_chains, mo.pri_ratio, mo.best_n, True,
+            int(mo.max_target_gap_length * 0.8),
         )
-        if not (mo.flag & MapFlag.ALL_CHAINS):
-            regs = select_sub(
-                regs, mo.pri_ratio, mo.best_n, True,
-                int(mo.max_target_gap_length * 0.8),
+        if regs is None:  # no native toolchain: python oracle path
+            regs = gen_regs(h, u_s.shape[0], u_s, bx, by)
+            set_parent(
+                regs, mo.mask_level, mo.mask_len,
+                bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
             )
+            if not all_chains:
+                regs = select_sub(
+                    regs, mo.pri_ratio, mo.best_n, True,
+                    int(mo.max_target_gap_length * 0.8),
+                )
         return regs, (bx, by), (px, py)
 
     # ---------- batched chunk-loop state machine ----------

@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..signal.events import dense_compact
 from .quantize import dynamic_quantize_jnp, hash32_jnp
@@ -98,13 +99,13 @@ def sketch_batch(
         wmin = hm
         for d in range(1, w):
             wmin = jnp.minimum(wmin, jnp.pad(hm, ((0, 0), (0, d)),
-                                             constant_values=0xFFFFFFFF)[:, d:])
+                                             constant_values=np.uint32(0xFFFFFFFF))[:, d:])
         winv = (t_idx >= e - 1) & (t_idx + (w - 1) < n_kept[:, None])
         # seed t emitted iff it equals the min of some valid window holding it
         emit = jnp.zeros_like(valid)
         for d in range(w):
             shifted = jnp.pad(wmin, ((0, 0), (d, 0)),
-                              constant_values=0xFFFFFFFF)[:, :cap]
+                              constant_values=np.uint32(0xFFFFFFFF))[:, :cap]
             shifted_ok = jnp.pad(winv, ((0, 0), (d, 0)))[:, :cap]
             emit = emit | ((hm == shifted) & shifted_ok)
         valid = valid & emit

@@ -39,3 +39,42 @@ def test_native_empty():
     )
     nu, nbx, nby, npx, npy = nat
     assert nu.shape[0] == 0 and nbx.shape[0] == 0
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
+@pytest.mark.parametrize("seed,do_select,hard", [
+    (0, True, False), (1, True, False), (2, False, False),
+    (3, True, True), (4, False, True), (5, True, False),
+])
+def test_native_regions_match_python(seed, do_select, hard):
+    """gen_regs -> set_parent -> select_sub pipeline: the C++ port equals the
+    python oracle field-for-field (reference: hit.c:100-367)."""
+    from rawhash_tpu._native import chain_tail_native, gen_regions_native
+    from rawhash_tpu.chain.regions import gen_regs, select_sub, set_parent
+
+    rng = np.random.default_rng(seed)
+    ax, ay = synthetic_anchors(rng, n_true=90, n_noise=160)
+    f, p = lchain_dp_fill_np(ax, ay, 2500, 2500, 500, 5, 200, 0.104, 0.0)
+    u_s, bx, by, px, py = chain_tail_native(f, p, ax, ay, 2, 10, 500)
+    if u_s.shape[0] == 0:
+        pytest.skip("no chains for this seed")
+    read_hash = 0xDEADBEEF ^ seed
+    mask_level, mask_len, alt_drop = 0.5, 2147483647, 0.15
+    pri_ratio, best_n, min_ss = 0.8, 5, 80
+
+    want = gen_regs(read_hash, u_s.shape[0], u_s, bx, by)
+    set_parent(want, mask_level, mask_len, hard, alt_drop)
+    if do_select:
+        want = select_sub(want, pri_ratio, best_n, True, min_ss)
+
+    got = gen_regions_native(
+        read_hash, u_s, bx, by, mask_level, mask_len, hard, alt_drop,
+        do_select, pri_ratio, best_n, True, min_ss,
+    )
+    assert got is not None
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for fld in ("id", "parent", "score", "score0", "hash", "cnt", "as_",
+                    "rev", "rid", "rs", "re", "qs", "qe", "mlen", "blen",
+                    "n_sub", "subsc", "strand_retained"):
+            assert getattr(g, fld) == getattr(w, fld), (seed, fld, g, w)

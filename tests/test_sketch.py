@@ -169,3 +169,35 @@ def test_sketch_with_minimizer_is_subset():
     assert 0 < len(h_min) < len(h_all)
     all_set = set(zip(h_all.tolist(), y_all.tolist()))
     assert all(p in all_set for p in zip(h_min.tolist(), y_min.tolist()))
+
+
+@pytest.mark.parametrize("w", [3, 5])
+def test_device_sketch_minimizers_match_host(w):
+    """Device sketch_batch with minimizer windows (w>0) emits exactly the
+    host oracle's seed set (this path is what the plain `ava` preset uses;
+    it previously crashed with an int32 pad-constant overflow)."""
+    import jax.numpy as jnp
+
+    from rawhash_tpu.sketch.device import sketch_batch
+    from rawhash_tpu.sketch.host import sketch_events_np
+
+    rng = np.random.default_rng(17 + w)
+    e, q, k = 8, 4, 6
+    vals = np.clip(rng.normal(0, 1.0, (2, 500)), -2.99, 2.99).astype(np.float32)
+    n_ev = np.array([500, 431], dtype=np.int32)
+    hashes, qpos, valid = sketch_batch(
+        jnp.asarray(vals), jnp.asarray(n_ev),
+        diff=0.35, w=w, e=e, q=q, k=k,
+        fine_min=-2.0, fine_max=2.0, fine_range=0.4,
+    )
+    hashes, qpos, valid = map(np.asarray, (hashes, qpos, valid))
+    for row in range(2):
+        h_host, y_host = sketch_events_np(
+            vals[row, : n_ev[row]], 0, 0, 0.35, w, e, q, k, -2.0, 2.0, 0.4
+        )
+        got_h = hashes[row][valid[row]]
+        got_q = qpos[row][valid[row]]
+        host_pos = (y_host.astype(np.uint64) & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+        assert got_h.shape[0] == h_host.shape[0]
+        np.testing.assert_array_equal(got_h, h_host.astype(np.uint32))
+        np.testing.assert_array_equal(got_q.astype(np.uint64), host_pos)
