@@ -184,10 +184,19 @@ def _segment_events(norm, n_sig, emitted, emit_ok, n_peaks, e_cap: int):
     """Events = IQR-filtered means of the segments between consecutive peaks
     (reference: gen_events + calculate_mean_of_filtered_segment).
 
-    `emitted`/`emit_ok` are the raw peak emissions [B, 2L]; segment ids are
-    the running count of peaks at-or-before each position, computed as an
-    indicator scatter + cumsum (a vmapped searchsorted here costs ~40 ms on
-    TPU — 13 levels of per-row gathers; the scatter+cumsum is ~5 ms)."""
+    `emitted`/`emit_ok` are the raw peak emissions [B, 2L].  TPU-shaped
+    plan (per-row gathers/scatters are the expensive ops on the VPU, so each
+    appears at most once and at the smallest width):
+      * per-element segment id = running count of peaks at-or-before the
+        position: ONE indicator scatter + cumsum (a vmapped searchsorted is
+        ~13 gather levels, ~8x slower)
+      * segment boundaries computed arithmetically from the sorted peak
+        positions (segments are contiguous position ranges) — no count
+        scatter
+      * IQR bounds fetched with ONE packed [B, E+1, 2] gather (two separate
+        bound gathers measured 4.4x slower)
+      * per-segment sums/counts as prefix-sum differences over the
+        (segment, value)-sorted row — no scatter-adds"""
     b, l = norm.shape
     n_ev = jnp.minimum(n_peaks, e_cap)
 
@@ -206,47 +215,54 @@ def _segment_events(norm, n_sig, emitted, emit_ok, n_peaks, e_cap: int):
     # per-row (segment major, value minor) lexicographic sort
     seg_s, val_s = jax.lax.sort((seg, norm), dimension=1, num_keys=2)
 
-    # segment boundaries: per-segment counts (scatter) -> exclusive cumsum
-    # (replaces two vmapped searchsorted passes, ~20 ms -> ~3 ms)
-    rows_l = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
-    cnt_all = (
-        jnp.zeros((b, e_cap + 1), jnp.int32)
-        .at[rows_l, jnp.minimum(seg, e_cap)]
-        .add(1)
+    # segment q covers positions [pk[q-1], pk[q]) (pk = sorted peak
+    # positions, pk[-1] := 0), so valid lengths are pure arithmetic
+    pk_sorted = jax.lax.sort(
+        jnp.where(emit_ok, emitted, BIG_I32), dimension=1
+    )[:, :e_cap]
+    qs = jnp.arange(e_cap, dtype=jnp.int32)
+    s_q = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), pk_sorted[:, : e_cap - 1]], axis=1)
+    e_q = pk_sorted
+    lens = jnp.where(
+        qs[None, :] < n_ev[:, None],
+        jnp.maximum(jnp.minimum(e_q, n_sig[:, None]) - jnp.minimum(s_q, n_sig[:, None]), 0),
+        0,
     )
-    bound = jnp.cumsum(cnt_all[:, :e_cap], axis=1)
+    bound = jnp.cumsum(lens, axis=1)
     starts = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), bound[:, :-1]], axis=1)
-    lens = cnt_all[:, :e_cap]
+
     q1_idx = jnp.clip(starts + lens // 4, 0, l - 1)
     q3_idx = jnp.clip(starts + (3 * lens) // 4, 0, l - 1)
     q1 = jnp.take_along_axis(val_s, q1_idx, axis=1)
     q3 = jnp.take_along_axis(val_s, q3_idx, axis=1)
     iqr = q3 - q1
-    lo = q1 - iqr  # [B, e_cap]
-    hi = q3 + iqr
+    # packed [B, E+1, 2] bound table -> one gather on the sorted layout
+    lohi = jnp.pad(
+        jnp.stack([q1 - iqr, q3 + iqr], axis=2), ((0, 0), (0, 1), (0, 0)),
+        constant_values=0.0,
+    )
+    seg_sc = jnp.clip(seg_s, 0, e_cap)
+    bnd = jnp.take_along_axis(lohi, seg_sc[:, :, None], axis=1)
+    keep_s = (seg_s < e_cap) & (val_s >= bnd[:, :, 0]) & (val_s <= bnd[:, :, 1])
 
-    seg_c = jnp.clip(seg, 0, e_cap)
-    lo_pos = jnp.take_along_axis(
-        jnp.pad(lo, ((0, 0), (0, 1)), constant_values=0.0), seg_c, axis=1
+    # segment sums/counts = prefix-sum differences over the sorted row
+    psum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.float32),
+         jnp.cumsum(jnp.where(keep_s, val_s, 0.0), axis=1)], axis=1
     )
-    hi_pos = jnp.take_along_axis(
-        jnp.pad(hi, ((0, 0), (0, 1)), constant_values=0.0), seg_c, axis=1
+    pcnt = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.cumsum(keep_s.astype(jnp.int32), axis=1)], axis=1
     )
-    keep = (~invalid) & (norm >= lo_pos) & (norm <= hi_pos)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
-    sums = (
-        jnp.zeros((b, e_cap + 1), jnp.float32)
-        .at[rows, seg_c]
-        .add(jnp.where(keep, norm, 0.0))[:, :e_cap]
+    ends = starts + lens
+    sums = jnp.take_along_axis(psum, ends, axis=1) - jnp.take_along_axis(
+        psum, starts, axis=1
     )
-    counts = (
-        jnp.zeros((b, e_cap + 1), jnp.int32)
-        .at[rows, seg_c]
-        .add(keep.astype(jnp.int32))[:, :e_cap]
+    counts = jnp.take_along_axis(pcnt, ends, axis=1) - jnp.take_along_axis(
+        pcnt, starts, axis=1
     )
     events = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), 0.0)
-    ev_mask = jnp.arange(e_cap)[None, :] < n_ev[:, None]
+    ev_mask = qs[None, :] < n_ev[:, None]
     return jnp.where(ev_mask, events, 0.0), n_ev
 
 
