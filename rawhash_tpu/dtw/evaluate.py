@@ -16,12 +16,24 @@ is warranted)."""
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
-from ..config import DtwBorderConstraint, DtwFillMethod
+from ..config import DtwBorderConstraint, DtwFillMethod, MapFlag
 from .host import align_chain_host
 
 NEG_INF = -1e10
+
+
+def _log_score(mopt, chain, score) -> None:
+    """--dtw-log-scores stderr line (reference: rmap.cpp:203-207; the
+    reference logs only evaluations that reach the end of align_chain)."""
+    if mopt.flag & MapFlag.DTW_LOG_SCORES:
+        print(
+            f"chaining_score={chain.score} alignment_score={score:f}",
+            file=sys.stderr,
+        )
 
 
 def _chain_segments(chain, bx, by, ref, read_events, mopt):
@@ -56,7 +68,9 @@ def _score_chain(chain, segs, costs, mopt, min_score: float) -> float:
             return NEG_INF
         if rev.shape[0] == 0 or qlen == 0:
             return 0.0
-        return qlen * bonus - costs[0]
+        score = qlen * bonus - costs[0]
+        _log_score(mopt, chain, score)
+        return score
     qfull = chain.qe - chain.qs + 1
     max_attainable = qfull * bonus
     dtw_cost = 0.0
@@ -69,7 +83,9 @@ def _score_chain(chain, segs, costs, mopt, min_score: float) -> float:
         dtw_cost += sub
         max_attainable -= sub
         num_aligned += qev.shape[0]
-    return num_aligned * bonus - dtw_cost
+    score = num_aligned * bonus - dtw_cost
+    _log_score(mopt, chain, score)
+    return score
 
 
 def evaluate_chains_batched(jobs, index, mopt) -> None:

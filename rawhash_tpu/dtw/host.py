@@ -87,6 +87,101 @@ def dtw_banded_np(
     return res
 
 
+def dtw_semiglobal_np(a: np.ndarray, b: np.ndarray,
+                      exclude_last: bool = False) -> float:
+    """Semiglobal DTW: `a` aligned fully against the best-matching substring
+    of `b` (reference: DTW_semiglobal, dtw.cpp:526-550; like the reference's
+    rolling variant, the exclude_last flag is accepted but unused)."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    n, m = a.shape[0], b.shape[0]
+    dp = np.full(n, BIG, dtype=np.float32)
+    best = np.float32(BIG)
+    for i in range(m):
+        old_left = dp[0]
+        dp[0] = np.float32(abs(float(a[0]) - float(b[i])))
+        for j in range(1, n):
+            top = dp[j - 1]
+            left = dp[j]
+            c = min(top, left, old_left) + np.float32(abs(float(a[j]) - float(b[i])))
+            old_left = left
+            dp[j] = c
+        best = min(best, dp[n - 1])
+    return float(best)
+
+
+def _dtw_traceback(dp: np.ndarray, a: np.ndarray, b: np.ndarray,
+                   i: int, j: int, stop_at_i0: bool):
+    """Shared traceback walk (reference: dtw.cpp:616-654, 699-737)."""
+    rev = [(i, j, float(np.float32(abs(float(a[i]) - float(b[j])))))]
+    while (i > 0) if stop_at_i0 else (i > 0 or j > 0):
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            left = dp[i - 1, j]
+            top = dp[i, j - 1]
+            topleft = dp[i - 1, j - 1]
+            if left < min(top, topleft):
+                i -= 1
+            elif top < min(left, topleft):
+                j -= 1
+            else:
+                i -= 1
+                j -= 1
+        rev.append((i, j, float(np.float32(abs(float(a[i]) - float(b[j]))))))
+    return rev[::-1]
+
+
+def _dtw_fill_full(a: np.ndarray, b: np.ndarray, semiglobal: bool) -> np.ndarray:
+    n, m = a.shape[0], b.shape[0]
+    dp = np.empty((n, m), dtype=np.float32)
+    dp[0, 0] = np.float32(abs(float(a[0]) - float(b[0])))
+    for i in range(1, n):
+        dp[i, 0] = dp[i - 1, 0] + np.float32(abs(float(a[i]) - float(b[0])))
+    row0 = np.abs(a[0] - b).astype(np.float32)
+    dp[0, 1:] = row0[1:] if semiglobal else np.cumsum(row0, dtype=np.float32)[1:]
+    for i in range(1, n):
+        cost = np.abs(a[i] - b).astype(np.float32)
+        prev = dp[i - 1]
+        cur = dp[i]
+        for j in range(1, m):
+            cur[j] = min(prev[j], cur[j - 1], prev[j - 1]) + cost[j]
+    return dp
+
+
+def dtw_global_tb_np(a: np.ndarray, b: np.ndarray, exclude_last: bool = False):
+    """Full-matrix global DTW with traceback; returns (cost,
+    [(i, j, |a_i-b_j|)]) (reference: DTW_global_tb, dtw.cpp:595-667)."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    n, m = a.shape[0], b.shape[0]
+    dp = _dtw_fill_full(a, b, semiglobal=False)
+    alignment = _dtw_traceback(dp, a, b, n - 1, m - 1, stop_at_i0=False)
+    cost = float(dp[n - 1, m - 1])
+    if exclude_last:
+        cost -= float(np.float32(abs(float(a[n - 1]) - float(b[m - 1]))))
+        alignment = alignment[:-1]
+    return cost, alignment
+
+
+def dtw_semiglobal_tb_np(a: np.ndarray, b: np.ndarray, exclude_last: bool = False):
+    """Semiglobal DTW with traceback: `a` global, best end anywhere in `b`
+    (reference: DTW_semiglobal_tb, dtw.cpp:669-753)."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    n, m = a.shape[0], b.shape[0]
+    dp = _dtw_fill_full(a, b, semiglobal=True)
+    best_j = int(np.argmin(dp[n - 1]))
+    alignment = _dtw_traceback(dp, a, b, n - 1, best_j, stop_at_i0=True)
+    cost = float(dp[n - 1, best_j])
+    if exclude_last:
+        cost -= alignment[-1][2]
+        alignment = alignment[:-1]
+    return cost, alignment
+
+
 def align_chain_host(
     chain, bx: np.ndarray, by: np.ndarray, index, read_events: np.ndarray,
     mopt, min_score: float = -1e10,
@@ -150,3 +245,13 @@ def align_chain_host(
     else:
         raise ValueError("unsupported DTW border constraint")
     chain.alignment_score = num_aligned * mopt.dtw_match_bonus - dtw_cost
+    from ..config import MapFlag
+
+    if mopt.flag & MapFlag.DTW_LOG_SCORES:
+        import sys
+
+        print(
+            f"chaining_score={chain.score} "
+            f"alignment_score={chain.alignment_score:f}",
+            file=sys.stderr,
+        )

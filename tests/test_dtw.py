@@ -220,3 +220,80 @@ def test_evaluate_chains_batched_matches_sequential():
             assert abs(r.alignment_score - w) < 1e-2 * max(1.0, abs(w)), (
                 r.alignment_score, w,
             )
+
+
+def test_dtw_semiglobal_substring_match():
+    """Semiglobal: query aligned globally against the best substring of the
+    target (reference: DTW_semiglobal, dtw.cpp:526-550)."""
+    from rawhash_tpu.dtw.host import dtw_semiglobal_np
+
+    rng = np.random.default_rng(41)
+    b = rng.normal(0, 1, 120).astype(np.float32)
+    a = b[40:70].copy()
+    assert dtw_semiglobal_np(a, b) < 1e-6
+    a_noisy = a + rng.normal(0, 0.05, a.shape).astype(np.float32)
+    cost = dtw_semiglobal_np(a_noisy, b)
+    assert 0 < cost < np.abs(a_noisy).sum()
+
+
+def test_dtw_global_tb_cost_matches_plain_and_path_is_valid():
+    """Traceback variant (reference: DTW_global_tb, dtw.cpp:595-667): same
+    cost as the plain fill; path is a monotone warping path whose per-cell
+    differences sum to the cost."""
+    from rawhash_tpu.dtw.host import dtw_global_np, dtw_global_tb_np
+
+    rng = np.random.default_rng(42)
+    a = rng.normal(0, 1, 30).astype(np.float32)
+    b = rng.normal(0, 1, 25).astype(np.float32)
+    cost, aln = dtw_global_tb_np(a, b)
+    assert abs(cost - dtw_global_np(a, b)) < 1e-3
+    assert aln[0][:2] == (0, 0) and aln[-1][:2] == (29, 24)
+    for (i0, j0, _), (i1, j1, _) in zip(aln, aln[1:]):
+        assert (i1 - i0, j1 - j0) in ((0, 1), (1, 0), (1, 1))
+    assert abs(sum(d for _, _, d in aln) - cost) < 1e-3
+    # exclude_last drops the final element and its cost
+    cost2, aln2 = dtw_global_tb_np(a, b, exclude_last=True)
+    assert len(aln2) == len(aln) - 1
+    assert abs((cost - cost2) - abs(a[-1] - b[-1])) < 1e-5
+
+
+def test_dtw_semiglobal_tb_matches_semiglobal_cost():
+    from rawhash_tpu.dtw.host import dtw_semiglobal_np, dtw_semiglobal_tb_np
+
+    rng = np.random.default_rng(43)
+    b = rng.normal(0, 1, 80).astype(np.float32)
+    a = (b[30:50] + rng.normal(0, 0.02, 20)).astype(np.float32)
+    cost, aln = dtw_semiglobal_tb_np(a, b)
+    assert abs(cost - dtw_semiglobal_np(a, b)) < 1e-3
+    # path covers all of `a` and ends inside `b`
+    assert aln[0][0] == 0 and aln[-1][0] == a.shape[0] - 1
+    assert 0 <= aln[-1][1] < b.shape[0]
+
+
+def test_dtw_log_scores_stderr(capsys):
+    """--dtw-log-scores prints one line per evaluated chain
+    (reference: rmap.cpp:203-207)."""
+    from rawhash_tpu.chain.regions import Region
+    from rawhash_tpu.config import MapFlag, MapOptions
+    from rawhash_tpu.dtw.evaluate import evaluate_chains_batched
+
+    rng = np.random.default_rng(44)
+
+    class FakeIndex:
+        F = [rng.normal(0, 1, 400).astype(np.float32)]
+        R = [rng.normal(0, 1, 400).astype(np.float32)]
+
+    mopt = MapOptions()
+    mopt.flag |= MapFlag.DTW_LOG_SCORES
+    # query events = a slice of the reference signal so the alignment is
+    # near-perfect and the evaluation runs to completion (the reference
+    # does not log early-terminated chains)
+    ev = FakeIndex.F[0][100:200].copy()
+    tp = np.array([100, 130, 160, 199], dtype=np.uint64)
+    qp = np.array([0, 30, 60, 99], dtype=np.uint64)
+    r = Region(rid=0, rev=0, rs=100, re=199, qs=0, qe=99,
+               score=50, cnt=4, as_=0)
+    evaluate_chains_batched([([r], tp, qp, ev)], FakeIndex, mopt)
+    err = capsys.readouterr().err
+    assert "chaining_score=50 alignment_score=" in err
+    assert r.alignment_score > 0
