@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--io-thread", type=int, default=1)
     p.add_argument("--batch-reads", type=int, default=None,
                    help="device batch size (TPU engine)")
+    p.add_argument("--pipeline-depth", type=int, default=None,
+                   help="read batches in flight (device/host overlap)")
     p.add_argument("--max-anchors", type=int, default=None,
                    help="per-read anchor capacity (TPU engine)")
     p.add_argument("--version", action="version", version="rawhash-tpu 0.1 (parity: RawHash2 2.1)")
@@ -204,6 +206,7 @@ def options_from_args(args) -> tuple[IndexOptions, MapOptions]:
     mp("dtw_match_bonus", args.dtw_match_bonus)
     mp("dtw_min_score", args.dtw_min_score)
     mp("batch_reads", args.batch_reads)
+    mp("pipeline_depth", args.pipeline_depth)
     mp("max_anchors_per_read", args.max_anchors)
     if args.mini_batch:
         mo.mini_batch_size = parse_num(args.mini_batch)

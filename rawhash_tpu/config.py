@@ -195,6 +195,7 @@ class MapOptions:
     max_seeds_per_chunk: int = 768
     max_anchors_per_read: int = 4096  # total anchor budget for the chaining DP
     batch_reads: int = 256  # reads mapped concurrently on device
+    pipeline_depth: int = 3  # read batches in flight (device/host overlap)
 
     @property
     def sample_per_base(self) -> float:
