@@ -61,15 +61,14 @@ class ChunkOut(NamedTuple):
 )
 def chunk_step(
     didx: DeviceIndex,
-    sig: jnp.ndarray,  # f32 [B, L]
-    slen: jnp.ndarray,  # i32 [B]
+    sig: jnp.ndarray,  # f16/f32 [B, L]
     carry: NormCarry,
     ev_offset: jnp.ndarray,  # i32 [B]
-    prev_key: jnp.ndarray,  # u32 [B, P] carried anchors from earlier chunks
-    prev_tpos: jnp.ndarray,  # i32 [B, P]
-    prev_qpos: jnp.ndarray,  # i32 [B, P]
-    n_prev: jnp.ndarray,  # i32 [B]
-    q_rank: jnp.ndarray,  # i32 [B] query name rank (all-vs-all only)
+    # ONE packed host upload per chunk (every H2D interaction costs a tunnel
+    # round trip): cols [0:P) carried anchor keys (u32 bits), [P:2P) tpos,
+    # [2P:3P) qpos, [3P] n_prev, [3P+1] slen
+    prev_pack: jnp.ndarray,  # i32 [B, 3P+2]
+    q_rank: jnp.ndarray,  # i32 [B] query name rank (ava; device-resident)
     target_rank: jnp.ndarray,  # i32 [n_seq] target name ranks (ava only)
     *,
     # sketch/index params (from the index build)
@@ -90,6 +89,12 @@ def chunk_step(
     b, l = sig.shape
     span = k + e - 1
     sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
+    p_cap = (prev_pack.shape[1] - 2) // 3
+    prev_key = jax.lax.bitcast_convert_type(prev_pack[:, :p_cap], jnp.uint32)
+    prev_tpos = prev_pack[:, p_cap : 2 * p_cap]
+    prev_qpos = prev_pack[:, 2 * p_cap : 3 * p_cap]
+    n_prev = prev_pack[:, 3 * p_cap]
+    slen = prev_pack[:, 3 * p_cap + 1]
 
     # --- events (reference: detect_events, revent.c:257) ---
     events, n_ev, carry2 = detect_events_batch(
@@ -146,7 +151,6 @@ def chunk_step(
         n_new = n_hits.astype(jnp.int32)
 
     # --- merge carried anchors, sort (reference: rmap.cpp:111-121) ---
-    p_cap = prev_key.shape[1]
     pidx = jnp.arange(p_cap, dtype=jnp.int32)
     prev_valid = pidx[None, :] < n_prev[:, None]
     slots_new = jnp.arange(a_cap, dtype=jnp.int32)

@@ -316,9 +316,10 @@ class _BatchState:
         self.prev_tpos = np.zeros((b, p_cap), dtype=np.int32)
         self.prev_qpos = np.zeros((b, p_cap), dtype=np.int32)
         self.n_prev = np.zeros(b, dtype=np.int32)
-        self.q_rank = np.array(
+        # uploaded once per batch, reused across chunks (device-resident)
+        self.q_rank_dev = jnp.asarray(np.array(
             [engine._q_rank(n) for n in self.names], dtype=np.int32
-        )
+        ))
         self.active = np.ones(b, dtype=bool)
         self.last_regs = [[] for _ in range(b)]
         self.c_counts = np.zeros(b, dtype=np.int64)
@@ -357,13 +358,21 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         slen[i] = seg.shape[0]
     t_sub = time.perf_counter()
     sig_dev = jnp.asarray(chunk.astype(engine.signal_dtype))
+    # single packed i32 upload: carried anchors + n_prev + slen (each
+    # separate H2D pays a tunnel round trip)
+    p_cap = st.p_cap
+    pack = np.empty((st.b, 3 * p_cap + 2), dtype=np.int32)
+    pack[:, :p_cap] = st.prev_key.view(np.int32)
+    pack[:, p_cap : 2 * p_cap] = st.prev_tpos
+    pack[:, 2 * p_cap : 3 * p_cap] = st.prev_qpos
+    pack[:, 3 * p_cap] = st.n_prev
+    pack[:, 3 * p_cap + 1] = slen
     out = chunk_step(
         engine.didx,
-        sig_dev, jnp.asarray(slen), st.carry,
+        sig_dev, st.carry,
         st.ev_offset,
-        jnp.asarray(st.prev_key), jnp.asarray(st.prev_tpos),
-        jnp.asarray(st.prev_qpos), jnp.asarray(st.n_prev),
-        jnp.asarray(st.q_rank), engine._target_rank,
+        jnp.asarray(pack),
+        st.q_rank_dev, engine._target_rank,
         diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
         fine_min=io.fine_min, fine_max=io.fine_max,
         fine_range=io.fine_range,
