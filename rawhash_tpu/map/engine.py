@@ -124,6 +124,9 @@ class MappingEngine:
         self._sorted_names = [index.seq_names[i] for i in order]
         self._jnp = jnp
         self.stats = {"hit_overflow": 0, "prev_overflow": 0, "reads": 0, "mapped": 0}
+        import threading
+
+        self._stats_lock = threading.Lock()  # _process_chunk runs in workers
 
     # ---------- helpers ----------
 
@@ -430,10 +433,12 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     h_qpos = hp[:, :, 4].astype(np.int32)
     h_f = hp[:, :, 5].astype(np.int32)
     h_p = hp[:, :, 6].astype(np.int32)
-    engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
+    with engine._stats_lock:
+        engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
         h_events = np.asarray(out.events).astype(np.float32)
-    engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
+    with engine._stats_lock:
+        engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
 
     c = st.chunk_idx
     now = time.perf_counter()
@@ -460,7 +465,8 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         st.last_regs[i] = regs
         npv = min(px.shape[0], st.p_cap)
         if px.shape[0] > st.p_cap:
-            engine.stats["prev_overflow"] += px.shape[0] - st.p_cap
+            with engine._stats_lock:
+                engine.stats["prev_overflow"] += px.shape[0] - st.p_cap
         k2, t2, q2 = _unpack_xy(px[:npv], py[:npv])
         st.prev_key[i, :npv] = k2
         st.prev_tpos[i, :npv] = t2
@@ -488,7 +494,8 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             st.t_decided[i] = now
             st.active[i] = False
             st.n_prev[i] = 0
-    engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
+    with engine._stats_lock:
+        engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
     st.chunk_idx += 1
 
 
@@ -551,12 +558,18 @@ def _finalize_batch(engine: MappingEngine, st: _BatchState) -> list:
 
 
 def _map_stream_impl(engine: MappingEngine, batches):
-    """`pipeline_depth` batches in flight: while the host runs one batch's
-    chunk tail, the device executes the others' chunk steps (the kt_pipeline
-    overlap, reference: kthread.c:130, re-expressed via async dispatch;
-    depth 3 measured ~7% over 2 — transfers of one batch hide behind
-    compute of the other two)."""
+    """`pipeline_depth` batches in flight, with each batch's D2H fetch +
+    host chain tail running in a worker thread (the kt_pipeline overlap,
+    reference: kthread.c:130).
+
+    The split matters on a tunneled device: a batch spends most of its wall
+    time blocked in D2H transfers, and both the transfers (GIL released)
+    and the native region pipeline (ctypes releases the GIL) of different
+    batches overlap freely.  Device dispatch stays on the caller thread;
+    per-batch order is enforced by the future chain, global output order by
+    the reorder buffer."""
     import collections
+    from concurrent.futures import ThreadPoolExecutor
 
     depth = max(1, int(getattr(engine.mopt, "pipeline_depth", 3)))
     batches = iter(batches)
@@ -565,34 +578,38 @@ def _map_stream_impl(engine: MappingEngine, batches):
     next_in = 0
     next_out = 0
 
-    def pull():
-        nonlocal next_in
-        try:
-            reads = next(batches)
-        except StopIteration:
-            return False
-        st = _BatchState(engine, reads)
-        st.order = next_in
-        next_in += 1
-        _submit_chunk(engine, st)
-        inflight.append(st)
-        return True
+    with ThreadPoolExecutor(max_workers=min(depth, 3)) as pool:
 
-    for _ in range(depth):
-        pull()
-    while inflight:
-        st = inflight.popleft()
-        _process_chunk(engine, st)
-        if st.done():
-            results[st.order] = _finalize_batch(engine, st)
-            if len(inflight) < depth:
-                pull()
-        else:
+        def pull():
+            nonlocal next_in
+            try:
+                reads = next(batches)
+            except StopIteration:
+                return False
+            st = _BatchState(engine, reads)
+            st.order = next_in
+            next_in += 1
             _submit_chunk(engine, st)
+            st.future = pool.submit(_process_chunk, engine, st)
             inflight.append(st)
-        while next_out in results:
-            yield results.pop(next_out)
-            next_out += 1
+            return True
+
+        for _ in range(depth):
+            pull()
+        while inflight:
+            st = inflight.popleft()
+            st.future.result()
+            if st.done():
+                results[st.order] = _finalize_batch(engine, st)
+                if len(inflight) < depth:
+                    pull()
+            else:
+                _submit_chunk(engine, st)
+                st.future = pool.submit(_process_chunk, engine, st)
+                inflight.append(st)
+            while next_out in results:
+                yield results.pop(next_out)
+                next_out += 1
     while next_out in results:
         yield results.pop(next_out)
         next_out += 1
