@@ -37,7 +37,9 @@ def main():
     mopt = MapOptions()
     set_preset("viral", iopt, mopt)
     mopt.batch_reads = batch
-    mopt.max_anchors_per_read = 1024  # ample for the 30 kb target (0 overflows)
+    # anchor budget sized so NOTHING is truncated (hit_overflow == 0): the
+    # reference keeps every hit, so a fair benchmark must too
+    mopt.max_anchors_per_read = 3072
     t0 = time.time()
     index = build_index_from_sequences([("chr1", genome)], pore, iopt)
     t_index = time.time() - t0

@@ -30,12 +30,17 @@ U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 class ChunkOut(NamedTuple):
     # every per-anchor output rides ONE int16 buffer so the host pays a
-    # single dispatch+D2H round trip per chunk (the tunnel charges ~3 ms per
-    # program; fetching 11 arrays separately cost ~400 ms/chunk).  Word
-    # layout along the last axis (qpos/f/p fit int16: event offsets < 2^15,
-    # chain scores < 2^15 for real spans, predecessor indices < N <= 2^15):
-    #   0 key_lo, 1 key_hi, 2 tpos_lo, 3 tpos_hi, 4 qpos, 5 f, 6 p
-    packed: jnp.ndarray  # i16 [B, N, 7] sorted anchors (key sentinel U32_MAX)
+    # single dispatch+D2H round trip per chunk (the tunnel moves execution
+    # outputs at ~16 MB/s, so BYTES are the cost; fetching 11 arrays
+    # separately cost ~400 ms/chunk).  Word layout along the last axis
+    # (qpos/f/p fit int16: event offsets < 2^15, chain scores < 2^15 for
+    # real spans, predecessor indices < N <= 2^15):
+    #   words[0:key_words]  (rev, tid, tpos) packed little-endian —
+    #     key_words is chosen per index so small genomes pay 1 word instead
+    #     of 4 (key_words=4 keeps the full split: key_lo, key_hi, tpos_lo,
+    #     tpos_hi)
+    #   then: qpos, f, p
+    packed: jnp.ndarray  # i16 [B, N, key_words+3] sorted anchors
     # per-read scalar block, one small transfer:
     #   0 n_anchors, 1 rep_len, 2 n_events, 3 processed, 4 hit_overflow,
     #   5 ev_offset
@@ -57,6 +62,7 @@ class ChunkOut(NamedTuple):
         "max_dist_t", "max_dist_q", "bw", "max_iter",
         "chn_pen_gap", "chn_pen_skip",
         "all_vs_all", "keep_events",
+        "key_words", "pos_bits",
     ),
 )
 def chunk_step(
@@ -85,6 +91,9 @@ def chunk_step(
     chn_pen_gap: float, chn_pen_skip: float,
     all_vs_all: bool,
     keep_events: bool = False,
+    # D2H anchor packing: (rev, tid, tpos) occupy `key_words` i16 words;
+    # pos_bits = bits for tpos inside the combined value (key_words <= 2)
+    key_words: int = 4, pos_bits: int = 0,
 ) -> ChunkOut:
     b, l = sig.shape
     span = k + e - 1
@@ -182,10 +191,30 @@ def chunk_step(
 
     n_total = s_key.shape[1]
     assert n_total < (1 << 15), "anchor capacity must fit int16 packing"
+    if key_words <= 2:
+        # (rev, tid, tpos) fit `key_words` i16 words:
+        #   combined = rev << (16*key_words - 1) | tid << pos_bits | tpos
+        rev_b = s_key >> jnp.uint32(31)
+        tid_b = s_key & jnp.uint32(0x7FFFFFFF)
+        combined = (
+            (rev_b << jnp.uint32(16 * key_words - 1))
+            | (tid_b << jnp.uint32(pos_bits))
+            | s_tpos.astype(jnp.uint32)
+        )
+        key_part = jax.lax.bitcast_convert_type(combined, jnp.int16)[
+            :, :, :key_words
+        ]
+    else:
+        key_part = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(s_key, jnp.int16),  # lo,hi
+                jax.lax.bitcast_convert_type(s_tpos, jnp.int16),
+            ],
+            axis=2,
+        )
     packed = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(s_key, jnp.int16),  # [B,N,2] lo,hi
-            jax.lax.bitcast_convert_type(s_tpos, jnp.int16),
+            key_part,
             jnp.clip(s_qpos, -32768, 32767).astype(jnp.int16)[:, :, None],
             jnp.clip(f, -32768, 32767).astype(jnp.int16)[:, :, None],
             p.astype(jnp.int16)[:, :, None],

@@ -127,6 +127,20 @@ class MappingEngine:
         import threading
 
         self._stats_lock = threading.Lock()  # _process_chunk runs in workers
+        # D2H anchor packing width: (rev, tid, tpos) ride 1 i16 word for
+        # small genomes, 2 for anything up to 2^31 combined bits, else the
+        # full 4-word split (the tunnel moves ~16 MB/s, bytes are the cost)
+        max_len = int(max(index.seq_lens)) if index.n_seq else 1
+        tid_bits = max(1, (max(index.n_seq, 1) - 1).bit_length()) if index.n_seq > 1 else 0
+        self._pos_bits = max(1, max_len.bit_length())
+        total_bits = 1 + tid_bits + self._pos_bits
+        if total_bits <= 16:
+            self._key_words = 1
+        elif total_bits <= 32:
+            self._key_words = 2
+        else:
+            self._key_words = 4
+        self._tid_bits = tid_bits
 
     # ---------- helpers ----------
 
@@ -292,7 +306,9 @@ class MappingEngine:
             # capacities and report overflows)
             n_keys = max(1, self.index.keys.shape[0])
             mean_occ = self.index.n_seeds / n_keys
-            expected = int(e_cap * min(mean_occ, 8.0) * 0.75)
+            # 2x headroom over the mean-occupancy estimate: the reference
+            # never truncates hits, so tail reads should not either
+            expected = int(e_cap * min(mean_occ, 8.0) * 1.5)
             total = mo.max_anchors_per_read
             a_cap = min(max(512, (expected + 127) & ~127), (2 * total) // 3)
             p_cap = total - a_cap
@@ -391,6 +407,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
         all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
         keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
+        key_words=engine._key_words, pos_bits=engine._pos_bits,
     )
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     st.pending = out
@@ -422,17 +439,34 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     nmax = int(h_nanc.max()) if h_nanc.size else 0
     ncut = min(ncols, max(128, (nmax + 127) & ~127))
     hp = np.asarray(out.packed[:, :ncut, :])
-    h_key = (
-        hp[:, :, 0].astype(np.uint16).astype(np.uint32)
-        | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
-    )
-    h_tpos = (
-        hp[:, :, 2].astype(np.uint16).astype(np.uint32)
-        | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
-    ).view(np.int32)
-    h_qpos = hp[:, :, 4].astype(np.int32)
-    h_f = hp[:, :, 5].astype(np.int32)
-    h_p = hp[:, :, 6].astype(np.int32)
+    kw = engine._key_words
+    if kw <= 2:
+        if kw == 1:
+            comb = hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+        else:
+            comb = (
+                hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+                | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
+            )
+        pos_mask = np.uint32((1 << engine._pos_bits) - 1)
+        rev = (comb >> np.uint32(16 * kw - 1)) & np.uint32(1)
+        tid = (comb >> np.uint32(engine._pos_bits)) & np.uint32(
+            (1 << engine._tid_bits) - 1
+        )
+        h_key = (rev << np.uint32(31)) | tid
+        h_tpos = (comb & pos_mask).astype(np.int32)
+    else:
+        h_key = (
+            hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+            | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
+        )
+        h_tpos = (
+            hp[:, :, 2].astype(np.uint16).astype(np.uint32)
+            | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
+        ).view(np.int32)
+    h_qpos = hp[:, :, kw].astype(np.int32)
+    h_f = hp[:, :, kw + 1].astype(np.int32)
+    h_p = hp[:, :, kw + 2].astype(np.int32)
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
