@@ -96,19 +96,85 @@ def main():
         f"({n_timed/dt:.1f} reads/s)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "viral_realtime_mapping_throughput",
-                "value": round(bps, 1),
-                "unit": "bp/s",
-                "vs_baseline": round(bps / BASELINE_D1_BPS, 4),
-                "reads_per_s": round(n_timed / dt, 2),
-                "mapped_frac": round(n_mapped / n_reads, 3),
-                "accuracy": round(acc, 3),
-            }
+    result = {
+        "metric": "viral_realtime_mapping_throughput",
+        "value": round(bps, 1),
+        "unit": "bp/s",
+        "vs_baseline": round(bps / BASELINE_D1_BPS, 4),
+        "reads_per_s": round(n_timed / dt, 2),
+        "mapped_frac": round(n_mapped / n_reads, 3),
+        "accuracy": round(acc, 3),
+    }
+    ref_bps = _reference_same_host_bps(genome, pore, reads, mopt)
+    if ref_bps:
+        result["reference_same_host_bps"] = round(ref_bps, 1)
+        result["vs_reference_same_host"] = round(bps / ref_bps, 3)
+    print(json.dumps(result))
+
+
+def _reference_same_host_bps(genome, pore, reads, mopt):
+    """Head-to-head on THIS machine: run the hermetically-built reference
+    rawhash2 (tools/refbuild) on the identical workload with every host
+    core, and report its bp/s under the same accounting.  Returns None when
+    the reference tree/toolchain is unavailable."""
+    import os
+    import re
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(repo, "tools", "refbuild", "build_reference.sh")
+    ref_bin = os.path.expanduser("~/.cache/rawhash_tpu_ref/rawhash2")
+    try:
+        if not os.path.exists(ref_bin):
+            subprocess.run(["bash", script], check=True, capture_output=True,
+                           timeout=600)
+        from rawhash_tpu.io.sigfile import write_slow5
+
+        nthreads = os.cpu_count() or 1
+        with tempfile.TemporaryDirectory() as d:
+            with open(os.path.join(d, "ref.fa"), "w") as fp:
+                fp.write(f">chr1\n{genome}\n")
+            bases4 = "ACGT"
+            with open(os.path.join(d, "pore.model"), "w") as fp:
+                fp.write("kmer\tlevel_mean\tlevel_stdv\n")
+                for i, v in enumerate(pore.pore_vals):
+                    kmer = "".join(
+                        bases4[(i >> (2 * (5 - j))) & 3] for j in range(6)
+                    )
+                    fp.write(f"{kmer}\t{90 + 12 * v:.4f}\t2.0\n")
+            write_slow5(
+                os.path.join(d, "reads.slow5"),
+                [(n, s) for n, s, _, _ in reads],
+            )
+            subprocess.run(
+                [ref_bin, "-x", "viral", "-t", str(nthreads),
+                 "-p", "pore.model", "-d", "ref.ind", "ref.fa"],
+                check=True, capture_output=True, cwd=d, timeout=300,
+            )
+            t0 = time.time()
+            r = subprocess.run(
+                [ref_bin, "-x", "viral", "-t", str(nthreads),
+                 "ref.ind", "reads.slow5"],
+                check=True, capture_output=True, text=True, cwd=d,
+                timeout=600,
+            )
+            wall = time.time() - t0
+        spb = mopt.sample_per_base
+        total = 0.0
+        for line in r.stdout.splitlines():
+            m = re.search(r"ci:i:(\d+)", line)
+            if m:
+                total += int(m.group(1)) * mopt.chunk_size / spb
+        print(
+            f"# reference rawhash2 on this host ({nthreads} threads): "
+            f"{wall:.2f}s = {total / wall:.0f} bp/s",
+            file=sys.stderr,
         )
-    )
+        return total / wall if wall > 0 else None
+    except Exception as e:  # no reference tree / toolchain: skip quietly
+        print(f"# reference same-host bench unavailable: {e}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":
