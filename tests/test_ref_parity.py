@@ -135,3 +135,72 @@ def test_reference_binary_and_ours_agree(workdir):
     assert frac >= 0.9, (
         f"agreement {n_agree}/{n_both}; disagreements: {disagreements[:5]}"
     )
+
+
+def _run_pair(d, ref_args, our_args, ref_index_args=(), our_index_args=()):
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", "-p", "pore.model",
+         *ref_index_args, "-d", "refm.ind", "ref.fa"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", *ref_args, "refm.ind",
+         "reads.slow5"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_paf = parse_paf(r.stdout)
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive",
+         "-p", "pore.model", *our_index_args, "-d", "refm.rhi.npz", "ref.fa"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive", *our_args,
+         "refm.rhi.npz", "reads.slow5"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    return ref_paf, parse_paf(r.stdout)
+
+
+def _agreement(ref_paf, our_paf):
+    both = agree = 0
+    mismatched_status = 0
+    for name, ref in ref_paf.items():
+        ours = our_paf.get(name)
+        if ref is None and ours is None:
+            continue
+        if (ref is None) != (ours is None):
+            mismatched_status += 1
+            continue
+        both += 1
+        if (ref[0] == ours[0] and ref[1] == ours[1]
+                and min(ref[3], ours[3]) > max(ref[2], ours[2])):
+            agree += 1
+    return both, agree, mismatched_status
+
+
+@pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
+def test_reference_rmq_mode_agrees(workdir):
+    """--rmq chaining mode: both tools swap in the RMQ chainer
+    (reference: mg_lchain_rmq, lchain.c:606)."""
+    ref_paf, our_paf = _run_pair(workdir, ["--rmq"], ["--rmq"])
+    both, agree, mism = _agreement(ref_paf, our_paf)
+    assert both > 0
+    assert agree / both >= 0.9, (both, agree, mism)
+
+
+@pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
+def test_reference_dtw_mode_agrees(workdir):
+    """--store-sig index + --dtw-evaluate-chains mapping (RawAlign mode)."""
+    ref_paf, our_paf = _run_pair(
+        workdir,
+        ["--dtw-evaluate-chains"], ["--dtw-evaluate-chains"],
+        ref_index_args=["--store-sig"], our_index_args=["--store-sig"],
+    )
+    both, agree, mism = _agreement(ref_paf, our_paf)
+    assert both > 0
+    assert agree / both >= 0.9, (both, agree, mism)
