@@ -46,30 +46,45 @@ def _mg_log2(x):
 def _fill_kernel(
     key_ref, tpos_ref, qpos_ref, n_ref,
     f_out_ref, p_out_ref,
-    rk_ref, rt_ref, rq_ref, rf_ref,
+    rk_ref, rt_ref, rq_ref, rf_ref, mii_ref,
     *,
-    n: int, w: int,
+    n_blk: int, w: int,
     q_span: int, max_dist_t: int, max_dist_q: int, bw: int,
     chn_pen_gap: float, chn_pen_skip: float,
 ):
     bb = key_ref.shape[1]
     n_anchors = n_ref[0, :]  # [Bb]
     slots = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # ring slot ids
+    jn = pl.program_id(1)  # anchor-block index (innermost grid dim)
+    base = jn * n_blk
 
-    # ring starts empty: f = INT32_MIN marks unusable slots
-    rk_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
-    rt_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
-    rq_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
-    rf_ref[:, :] = jnp.full((w, bb), INT32_MIN, jnp.int32)
+    @pl.when(jn == 0)
+    def _init():
+        # ring starts empty: f = INT32_MIN marks unusable slots
+        rk_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
+        rt_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
+        rq_ref[:, :] = jnp.zeros((w, bb), jnp.int32)
+        rf_ref[:, :] = jnp.full((w, bb), INT32_MIN, jnp.int32)
+        # max_ii carry rows: 0 idx, 1 key, 2 tpos, 3 qpos, 4 f (5-7 pad)
+        mii_ref[:, :] = jnp.concatenate(
+            [
+                jnp.full((1, bb), -1, jnp.int32),
+                jnp.zeros((3, bb), jnp.int32),
+                jnp.full((1, bb), INT32_MIN, jnp.int32),
+                jnp.zeros((3, bb), jnp.int32),
+            ],
+            axis=0,
+        )
 
     pen_gap = jnp.float32(chn_pen_gap)
     pen_skip = jnp.float32(chn_pen_skip)
 
-    def body(i, carry):
+    def body(i_local, carry):
         mii_idx, mii_key, mii_tpos, mii_qpos, mii_f = carry  # each [1, Bb]
-        k_i = key_ref[pl.ds(i, 1), :]  # [1, Bb] (key bits as i32)
-        t_i = tpos_ref[pl.ds(i, 1), :]
-        q_i = qpos_ref[pl.ds(i, 1), :]
+        i = base + i_local  # absolute anchor index
+        k_i = key_ref[pl.ds(i_local, 1), :]  # [1, Bb] (key bits as i32)
+        t_i = tpos_ref[pl.ds(i_local, 1), :]
+        q_i = qpos_ref[pl.ds(i_local, 1), :]
         alive = (i < n_anchors)[None, :]
 
         # absolute anchor index per ring slot: j == slot (mod w), in [i-w, i)
@@ -180,18 +195,23 @@ def _fill_kernel(
         rf_ref[pl.ds(slot, 1), :] = jnp.where(
             alive, f_i, rf_ref[pl.ds(slot, 1), :]
         )
-        f_out_ref[pl.ds(i, 1), :] = jnp.where(alive, f_i, 0)
-        p_out_ref[pl.ds(i, 1), :] = jnp.where(alive, max_j, -1)
+        f_out_ref[pl.ds(i_local, 1), :] = jnp.where(alive, f_i, 0)
+        p_out_ref[pl.ds(i_local, 1), :] = jnp.where(alive, max_j, -1)
         return (mii_idx3, mii_key3, mii_tpos3, mii_qpos3, mii_f3)
 
     init = (
-        jnp.full((1, bb), -1, jnp.int32),
-        jnp.zeros((1, bb), jnp.int32),
-        jnp.zeros((1, bb), jnp.int32),
-        jnp.zeros((1, bb), jnp.int32),
-        jnp.full((1, bb), INT32_MIN, jnp.int32),
+        mii_ref[pl.ds(0, 1), :],
+        mii_ref[pl.ds(1, 1), :],
+        mii_ref[pl.ds(2, 1), :],
+        mii_ref[pl.ds(3, 1), :],
+        mii_ref[pl.ds(4, 1), :],
     )
-    jax.lax.fori_loop(0, n, body, init)
+    out = jax.lax.fori_loop(0, n_blk, body, init)
+    mii_ref[pl.ds(0, 1), :] = out[0]
+    mii_ref[pl.ds(1, 1), :] = out[1]
+    mii_ref[pl.ds(2, 1), :] = out[2]
+    mii_ref[pl.ds(3, 1), :] = out[3]
+    mii_ref[pl.ds(4, 1), :] = out[4]
 
 
 @functools.partial(
@@ -224,48 +244,58 @@ def chain_fill_pallas(
     if max_dist_q < bw:
         max_dist_q = bw
 
-    # batch in lanes: pick a block width that divides the (padded) batch
+    # batch in lanes; anchors tiled over the (sequential) inner grid dim so
+    # VMEM holds only one [n_blk, b_blk] tile per buffer while the ring and
+    # max_ii carries persist in scratch across anchor tiles
     b_blk = 128 if b >= 128 else b
     b_pad = ((b + b_blk - 1) // b_blk) * b_blk
-    key_t = jnp.zeros((n, b_pad), jnp.int32)
-    key_t = key_t.at[:, :b].set(
+    n_blk = min(n, 512)
+    n_pad = ((n + n_blk - 1) // n_blk) * n_blk
+    key_t = jnp.zeros((n_pad, b_pad), jnp.int32)
+    key_t = key_t.at[:n, :b].set(
         jax.lax.bitcast_convert_type(key, jnp.int32).swapaxes(0, 1)
     )
-    tpos_t = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(tpos.swapaxes(0, 1))
-    qpos_t = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(qpos.swapaxes(0, 1))
+    tpos_t = jnp.zeros((n_pad, b_pad), jnp.int32).at[:n, :b].set(
+        tpos.swapaxes(0, 1)
+    )
+    qpos_t = jnp.zeros((n_pad, b_pad), jnp.int32).at[:n, :b].set(
+        qpos.swapaxes(0, 1)
+    )
     n_t = jnp.zeros((1, b_pad), jnp.int32).at[0, :b].set(n_anchors)
 
     kern = functools.partial(
         _fill_kernel,
-        n=n, w=w, q_span=q_span,
+        n_blk=n_blk, w=w, q_span=q_span,
         max_dist_t=max_dist_t, max_dist_q=max_dist_q, bw=bw,
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
     )
-    grid = (b_pad // b_blk,)
-    blk = lambda i: (0, i)
+    grid = (b_pad // b_blk, n_pad // n_blk)
+    blk = lambda i, j: (j, i)
+    nspec = lambda i, j: (0, i)
     f_t, p_t = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, b_blk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, b_blk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, b_blk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk), nspec, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n, b_blk), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, b_blk), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, b_blk), blk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((n, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, b_pad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((w, b_blk), jnp.int32),
             pltpu.VMEM((w, b_blk), jnp.int32),
             pltpu.VMEM((w, b_blk), jnp.int32),
             pltpu.VMEM((w, b_blk), jnp.int32),
+            pltpu.VMEM((8, b_blk), jnp.int32),
         ],
         interpret=interpret,
     )(key_t, tpos_t, qpos_t, n_t)
-    return f_t[:, :b].swapaxes(0, 1), p_t[:, :b].swapaxes(0, 1)
+    return f_t[:n, :b].swapaxes(0, 1), p_t[:n, :b].swapaxes(0, 1)

@@ -15,12 +15,14 @@ in masks and counts.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..chain.device import chain_fill_batch
+from ..chain.pallas_fill import chain_fill_pallas
 from ..index.device import DeviceIndex, expand_hits, lookup_counts
 from ..signal.events import NormCarry, dense_compact, detect_events_batch
 from ..sketch.device import sketch_batch
@@ -182,7 +184,15 @@ def chunk_step(
     )
 
     # --- chaining DP fill (reference: mg_lchain_dp, lchain.c:385) ---
-    f, p = chain_fill_batch(
+    # On TPU the Pallas kernel keeps the predecessor ring in VMEM (1.5-4x
+    # the lax.scan fill, bit-identical outputs); CPU keeps the scan oracle.
+    _fill = (
+        chain_fill_pallas
+        if jax.default_backend() == "tpu"
+        and not os.environ.get("RAWHASH_TPU_NO_PALLAS")
+        else chain_fill_batch
+    )
+    f, p = _fill(
         s_key, s_tpos, s_qpos, n_anchors,
         q_span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
         bw=bw, max_iter=max_iter,
