@@ -105,6 +105,20 @@ def read_slow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
             yield rid, _pa_filter(pa)
 
 
+def read_blow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (read_id, signal pA float32) from binary BLOW5 (spec-native
+    decoder in io/blow5.py; zlib/zstd records, svb-zd signals).  Applies the
+    same pA conversion + float narrowing as the SLOW5 path (reference:
+    rsig.c:496-503)."""
+    from . import blow5 as _b5
+
+    for rec in _b5.read_blow5_raw(path):
+        raw = rec["signal"].astype(np.float64)
+        scale = np.float32(rec["range"] / rec["digitisation"])
+        pa = ((raw + rec["offset"]) * np.float64(scale)).astype(np.float32)
+        yield rec["read_id"], _pa_filter(pa)
+
+
 def read_pod5(path: str) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (read_id, signal pA float32) from POD5 (requires `pod5`)."""
     try:
@@ -146,9 +160,7 @@ def read_signals(path: str) -> Iterator[tuple[str, np.ndarray]]:
     elif ".slow5" in path:
         yield from read_slow5(path)
     elif ".blow5" in path:
-        raise RuntimeError(
-            "binary BLOW5 is not supported yet; convert with slow5tools view"
-        )
+        yield from read_blow5(path)
     elif ".pod5" in path or ".pod" in path:
         yield from read_pod5(path)
     else:
