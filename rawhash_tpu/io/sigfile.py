@@ -120,19 +120,34 @@ def read_blow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
 
 
 def read_pod5(path: str) -> Iterator[tuple[str, np.ndarray]]:
-    """Yield (read_id, signal pA float32) from POD5 (requires `pod5`)."""
+    """Yield (read_id, signal pA float32) from POD5.
+
+    Prefers the official `pod5` package when installed; otherwise decodes
+    natively (io/pod5_native.py: Arrow tables + VBZ signal).  Both apply the
+    reference's float32 pA conversion pa = (raw + offset) * scale and the
+    (30, 200) pA drop filter (reference: rsig.c:416-431)."""
     try:
+        import pod5  # noqa: F401
+
+        have_pod5 = True
+    except ImportError:
+        have_pod5 = False
+    if have_pod5:
         import pod5
-    except ImportError as e:
-        raise RuntimeError(
-            "POD5 input requires the 'pod5' package, which is not installed "
-            "in this environment"
-        ) from e
-    with pod5.Reader(path) as reader:
-        for rec in reader.reads():
-            cal = rec.calibration
-            pa = (rec.signal.astype(np.float32) + cal.offset) * cal.scale
-            yield str(rec.read_id), _pa_filter(pa)
+
+        with pod5.Reader(path) as reader:
+            for rec in reader.reads():
+                cal = rec.calibration
+                pa = (rec.signal.astype(np.float32) + np.float32(cal.offset)) * np.float32(cal.scale)
+                yield str(rec.read_id), _pa_filter(pa)
+        return
+    from . import pod5_native as _p5
+
+    for rec in _p5.read_pod5_raw(path):
+        pa = (
+            rec["signal"].astype(np.float32) + np.float32(rec["calibration_offset"])
+        ) * np.float32(rec["calibration_scale"])
+        yield rec["read_id"], _pa_filter(pa)
 
 
 def read_sig_npz(path: str) -> Iterator[tuple[str, np.ndarray]]:
