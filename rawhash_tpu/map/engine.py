@@ -141,6 +141,9 @@ class MappingEngine:
         else:
             self._key_words = 4
         self._tid_bits = tid_bits
+        # speculative D2H prefix width for the packed anchor fetch (learned
+        # from the previous chunk's live width; 0 = first chunk, exact fetch)
+        self._spec_ncut = 0
 
     # ---------- helpers ----------
 
@@ -350,6 +353,7 @@ class _BatchState:
         self.chunk_idx = 0
         self.pending = None  # in-flight ChunkOut
         self.pending_slen = None
+        self.pending_spec = None  # speculative packed-prefix (async D2H)
 
     def done(self) -> bool:
         return self.chunk_idx >= self.max_chunk or not self.active.any()
@@ -410,6 +414,24 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         key_words=engine._key_words, pos_bits=engine._pos_bits,
     )
     engine.profiler.add("submit", time.perf_counter() - t_sub)
+    # start D2H copies NOW (async): the scalar block always, plus a
+    # speculative prefix of the packed anchors sized from the last chunk's
+    # live width.  Both ride the tunnel while other batches compute; the
+    # worker thread then usually finds its bytes already on the host instead
+    # of paying two sequential round trips (scalars -> exact-width fetch).
+    try:
+        out.scalars.copy_to_host_async()
+    except Exception:
+        pass
+    spec = None
+    spec_w = min(engine._spec_ncut, out.packed.shape[1])
+    if spec_w >= 128:
+        spec = out.packed[:, :spec_w, :]
+        try:
+            spec.copy_to_host_async()
+        except Exception:
+            pass
+    st.pending_spec = spec
     st.pending = out
     st.pending_slen = slen
 
@@ -421,14 +443,17 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
     out = st.pending
     slen = st.pending_slen
-    st.pending = st.pending_slen = None
+    spec = st.pending_spec
+    st.pending = st.pending_slen = st.pending_spec = None
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     t_wait = time.perf_counter()
-    # two D2H round trips per chunk: the tiny scalar block first (gives the
-    # exact live-anchor width), then ONE packed fetch of that prefix
-    # (anchors are sorted valid-first; width rounds up to 128 so the slice
-    # program compiles only a handful of variants)
+    # D2H: the tiny scalar block (already en route — copy_to_host_async at
+    # submit) gives the exact live-anchor width; if the speculative prefix
+    # started at submit covers it, its bytes are usually already here,
+    # otherwise fall back to one exact-width fetch (anchors are sorted
+    # valid-first; width rounds up to 128 so the slice program compiles only
+    # a handful of variants)
     h_scal = np.asarray(out.scalars)
     h_nanc = h_scal[:, 0]
     h_rep = h_scal[:, 1]
@@ -438,7 +463,13 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     ncols = out.packed.shape[1]
     nmax = int(h_nanc.max()) if h_nanc.size else 0
     ncut = min(ncols, max(128, (nmax + 127) & ~127))
-    hp = np.asarray(out.packed[:, :ncut, :])
+    if spec is not None and spec.shape[1] >= ncut:
+        hp = np.asarray(spec)[:, :ncut, :]
+    else:
+        hp = np.asarray(out.packed[:, :ncut, :])
+    # next chunk's speculative width: this chunk's live width + one block of
+    # headroom (benign cross-batch race: plain int store)
+    engine._spec_ncut = min(ncols, ncut + 128)
     kw = engine._key_words
     if kw <= 2:
         if kw == 1:
