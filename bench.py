@@ -58,11 +58,19 @@ def main():
     t_compile = time.time() - t0
     print(f"# warmup batch (compile): {t_compile:.2f}s", file=sys.stderr)
 
-    t0 = time.time()
-    results = list(warm)
-    for res in engine.map_stream(batches[1:]):
-        results.extend(res)
-    dt = time.time() - t0
+    # best of 3 timed passes: this is a 2-core host shared with other jobs,
+    # and a single pass can lose 30%+ to unrelated load; the best pass is
+    # the least-interfered measurement of the engine itself
+    dt = float("inf")
+    for _pass in range(3):
+        t0 = time.time()
+        results_pass = list(warm)
+        for res in engine.map_stream(batches[1:]):
+            results_pass.extend(res)
+        dt_pass = time.time() - t0
+        print(f"# pass {_pass}: {dt_pass:.2f}s", file=sys.stderr)
+        if dt_pass < dt:
+            dt, results = dt_pass, results_pass
 
     # sequenced bases before decision, from the ci tag (chunks * chunk_size
     # samples / samples-per-base), the reference's throughput accounting
@@ -152,14 +160,18 @@ def _reference_same_host_bps(genome, pore, reads, mopt):
                  "-p", "pore.model", "-d", "ref.ind", "ref.fa"],
                 check=True, capture_output=True, cwd=d, timeout=300,
             )
-            t0 = time.time()
-            r = subprocess.run(
-                [ref_bin, "-x", "viral", "-t", str(nthreads),
-                 "ref.ind", "reads.slow5"],
-                check=True, capture_output=True, text=True, cwd=d,
-                timeout=600,
-            )
-            wall = time.time() - t0
+            # best of 3, same treatment as our own timed passes
+            wall = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                r_pass = subprocess.run(
+                    [ref_bin, "-x", "viral", "-t", str(nthreads),
+                     "ref.ind", "reads.slow5"],
+                    check=True, capture_output=True, text=True, cwd=d,
+                    timeout=600,
+                )
+                if time.time() - t0 < wall:
+                    wall, r = time.time() - t0, r_pass
         spb = mopt.sample_per_base
         total = 0.0
         for line in r.stdout.splitlines():
