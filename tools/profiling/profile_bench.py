@@ -2,6 +2,7 @@ import sys, runpy
 import rawhash_tpu.map.engine as eng
 orig_main = None
 sys.argv = ["bench.py"]
+import os, sys as _s; _s.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import bench
 # monkeypatch: print profiler at end
 m = bench.main
