@@ -19,8 +19,10 @@ BASELINE_D1_BPS = 625_160.0  # reference 32-thread CPU, D1 SARS-CoV-2
 
 
 def main():
+    import os
+
     genome_len = 30_000  # SARS-CoV-2 scale
-    batch = 256
+    batch = int(os.environ.get("RAWHASH_BENCH_BATCH", "256"))
     n_reads = 5 * batch  # 1 warmup batch + 4 timed, all the same XLA shape
     read_len = 1200
 
