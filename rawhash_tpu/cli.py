@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-quantize", action="store_true")
     p.add_argument("--no-event-detection", action="store_true")
     p.add_argument("--no-rev-target", action="store_true")
+    # debug/observability flags (reference: main.cpp:70-72); the reference
+    # defines the bits (roptions.h:30-31) and the limit (roptions.c:104) but
+    # its pipeline never consumes them (the only use, rmap.cpp:270, is
+    # commented out) — we accept and store them for 1:1 flag-surface parity
+    p.add_argument("--log-anchors", action="store_true")
+    p.add_argument("--log-num-anchors", action="store_true")
+    p.add_argument("--rev-collision-count", type=int, default=None)
     p.add_argument("--io-thread", type=int, default=1)
     p.add_argument("--batch-reads", type=int, default=None,
                    help="device batch size (TPU engine)")
@@ -213,6 +220,11 @@ def options_from_args(args) -> tuple[IndexOptions, MapOptions]:
 
     if args.rmq:
         mo.flag |= MapFlag.RMQ
+    if args.log_anchors:
+        mo.flag |= MapFlag.LOG_ANCHORS
+    if args.log_num_anchors:
+        mo.flag |= MapFlag.LOG_NUM_ANCHORS
+    mp("rev_col_limit", args.rev_collision_count)
     if args.sequence_until:
         mo.flag |= MapFlag.SEQUENCEUNTIL
     if args.disable_adaptive:

@@ -691,10 +691,16 @@ MappingEngine.map_batch = _map_batch_impl
 
 
 def _tags_impl(self, mt_ms, ci, sl, cm, nc, s1):
-    """PAF tag block (reference: rmap.cpp:527-570)."""
+    """PAF tag block (reference: rmap.cpp:527-570).
+
+    `sm:f` mirrors the reference byte-for-byte: its `mean_chain_score` is
+    declared 0 and never assigned (rmap.cpp:513), so mapped/with-chain reads
+    print "sm:f:0.00" and the no-chain unmapped branch prints the literal
+    "sm:f:0" (rmap.cpp:541)."""
+    sm = "0" if nc == 0 else "0.00"
     return (
         f"mt:f:{mt_ms:.6f}\tci:i:{ci}\tsl:i:{sl}\tcm:i:{cm}"
-        f"\tnc:i:{nc}\ts1:i:{s1}\tsm:f:{0.0:.2f}"
+        f"\tnc:i:{nc}\ts1:i:{s1}\tsm:f:{sm}"
     )
 
 

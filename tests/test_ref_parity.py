@@ -183,6 +183,81 @@ def _agreement(ref_paf, our_paf):
     return both, agree, mismatched_status
 
 
+def parse_paf_tags(text: str) -> dict:
+    """name -> dict of PAF tag -> value string (reference: rmap.cpp:527-570)."""
+    out = {}
+    for line in text.strip().splitlines():
+        cols = line.split("\t")
+        if len(cols) < 12:
+            continue
+        tags = {}
+        for col in cols[12:]:
+            k, _t, v = col.split(":", 2)
+            tags[k] = v
+        out[cols[0]] = tags
+    return out
+
+
+@pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
+def test_reference_tag_parity(workdir):
+    """Tag-level parity: ci/sl/cm/nc/s1/sm compared per read (mt:f is wall
+    time, excluded).  sl and sm must match exactly for every read; the chain
+    stat tags (ci/cm/nc/s1) depend on float-reduction order and the device
+    fill's documented max_skip deviation, so ci/nc are held to >=0.9 exact
+    agreement and cm/s1 (chain anchor count / score) to within 20% relative
+    on every read (measured max deviation on this fixture: 16%; reference
+    tag assembly: rmap.cpp:527-570)."""
+    d = workdir
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", "-p", "pore.model",
+         "-d", "reft.ind", "ref.fa"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [REF_BIN, "-x", "sensitive", "-t", "1", "reft.ind", "reads.slow5"],
+        capture_output=True, text=True, cwd=d, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_tags = parse_paf_tags(r.stdout)
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive",
+         "-p", "pore.model", "-d", "reft.rhi.npz", "ref.fa"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "rawhash_tpu", "-x", "sensitive",
+         "reft.rhi.npz", "reads.slow5"],
+        capture_output=True, text=True, cwd=d, env=ENV, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr
+    our_tags = parse_paf_tags(r.stdout)
+
+    assert set(our_tags) == set(ref_tags)
+    compared = {"ci": 0, "sl": 0, "cm": 0, "nc": 0, "s1": 0, "sm": 0}
+    agreed = dict(compared)
+    mismatches = []
+    for name, rt in ref_tags.items():
+        ot = our_tags[name]
+        assert set(rt) == set(ot), (name, rt, ot)
+        for tag in compared:
+            compared[tag] += 1
+            if rt[tag] == ot[tag]:
+                agreed[tag] += 1
+            else:
+                mismatches.append((name, tag, rt[tag], ot[tag]))
+        for tag in ("cm", "s1"):
+            rv, ov = int(rt[tag]), int(ot[tag])
+            assert abs(rv - ov) <= max(2, 0.2 * max(rv, ov)), (name, tag, rv, ov)
+    n = compared["sl"]
+    assert n > 0
+    assert agreed["sl"] == n, mismatches
+    assert agreed["sm"] == n, mismatches
+    for tag in ("ci", "nc"):
+        assert agreed[tag] / n >= 0.9, (tag, agreed, mismatches[:10])
+
+
 @pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
 def test_reference_rmq_mode_agrees(workdir):
     """--rmq chaining mode: both tools swap in the RMQ chainer
