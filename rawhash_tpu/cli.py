@@ -127,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read batches in flight (device/host overlap)")
     p.add_argument("--max-anchors", type=int, default=None,
                    help="per-read anchor capacity (TPU engine)")
+    p.add_argument("--n-shards", type=int, default=None,
+                   help="shard the seed table over a (dp, shard) device mesh "
+                        "(TPU scale-out; 1 = pure data parallelism)")
     p.add_argument("--version", action="version", version="rawhash-tpu 0.1 (parity: RawHash2 2.1)")
     return p
 
@@ -215,6 +218,7 @@ def options_from_args(args) -> tuple[IndexOptions, MapOptions]:
     mp("batch_reads", args.batch_reads)
     mp("pipeline_depth", args.pipeline_depth)
     mp("max_anchors_per_read", args.max_anchors)
+    mp("n_shards", args.n_shards)
     if args.mini_batch:
         mo.mini_batch_size = parse_num(args.mini_batch)
 

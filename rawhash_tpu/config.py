@@ -195,6 +195,10 @@ class MapOptions:
     max_seeds_per_chunk: int = 768
     max_anchors_per_read: int = 4096  # total anchor budget for the chaining DP
     batch_reads: int = 256  # reads mapped concurrently on device
+    # multi-chip scale-out (net-new vs the reference, SURVEY.md §2.4): >0
+    # activates the (dp, shard) mesh over all visible devices with the seed
+    # table hash-range-sharded n_shards ways (1 = pure data parallelism)
+    n_shards: int = 0
     pipeline_depth: int = 3  # read batches in flight (device/host overlap)
 
     @property

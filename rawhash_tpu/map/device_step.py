@@ -52,62 +52,25 @@ class ChunkOut(NamedTuple):
     ev_offset: jnp.ndarray  # i32 [B] updated event offset (device-resident)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "diff", "w", "e", "q", "k",
-        "fine_min", "fine_max", "fine_range",
-        "window_length1", "window_length2",
-        "threshold1", "threshold2", "peak_height",
-        "e_cap", "a_cap",
-        "min_events", "mid_occ",
-        "max_dist_t", "max_dist_q", "bw", "max_iter",
-        "chn_pen_gap", "chn_pen_skip",
-        "all_vs_all", "keep_events",
-        "key_words", "pos_bits",
-    ),
-)
-def chunk_step(
-    didx: DeviceIndex,
-    sig: jnp.ndarray,  # f16/f32 [B, L]
-    carry: NormCarry,
-    ev_offset: jnp.ndarray,  # i32 [B]
-    # ONE packed host upload per chunk (every H2D interaction costs a tunnel
-    # round trip): cols [0:P) carried anchor keys (u32 bits), [P:2P) tpos,
-    # [2P:3P) qpos, [3P] n_prev, [3P+1] slen
-    prev_pack: jnp.ndarray,  # i32 [B, 3P+2]
-    q_rank: jnp.ndarray,  # i32 [B] query name rank (ava; device-resident)
-    target_rank: jnp.ndarray,  # i32 [n_seq] target name ranks (ava only)
-    *,
-    # sketch/index params (from the index build)
-    diff: float, w: int, e: int, q: int, k: int,
-    fine_min: float, fine_max: float, fine_range: float,
-    # event detector params
-    window_length1: int, window_length2: int,
-    threshold1: float, threshold2: float, peak_height: float,
-    # capacities
-    e_cap: int, a_cap: int,
-    # mapping params
-    min_events: int, mid_occ: int,
-    max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
-    chn_pen_gap: float, chn_pen_skip: float,
-    all_vs_all: bool,
-    keep_events: bool = False,
-    # D2H anchor packing: (rev, tid, tpos) occupy `key_words` i16 words;
-    # pos_bits = bits for tpos inside the combined value (key_words <= 2)
-    key_words: int = 4, pos_bits: int = 0,
-) -> ChunkOut:
-    b, l = sig.shape
-    span = k + e - 1
-    sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
+def decode_prev_pack(prev_pack: jnp.ndarray):
+    """Split the packed H2D upload into carried-anchor planes + slen."""
     p_cap = (prev_pack.shape[1] - 2) // 3
     prev_key = jax.lax.bitcast_convert_type(prev_pack[:, :p_cap], jnp.uint32)
     prev_tpos = prev_pack[:, p_cap : 2 * p_cap]
     prev_qpos = prev_pack[:, 2 * p_cap : 3 * p_cap]
     n_prev = prev_pack[:, 3 * p_cap]
     slen = prev_pack[:, 3 * p_cap + 1]
+    return prev_key, prev_tpos, prev_qpos, n_prev, slen
 
-    # --- events (reference: detect_events, revent.c:257) ---
+
+def events_and_sketch(
+    sig, slen, carry, *,
+    window_length1, window_length2, threshold1, threshold2, peak_height,
+    e_cap, min_events,
+    diff, w, e, q, k, fine_min, fine_max, fine_range,
+):
+    """Stages shared by the single-device and sharded chunk steps:
+    event detection (revent.c:257) + sketching (rsketch.c:271)."""
     events, n_ev, carry2 = detect_events_batch(
         sig, slen, carry,
         window_length1=window_length1, window_length2=window_length2,
@@ -115,21 +78,19 @@ def chunk_step(
         e_cap=e_cap,
     )
     processed = n_ev >= min_events  # reference: rmap.cpp:232
-    ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
-
-    # --- sketch (reference: ri_sketch, rsketch.c:271) ---
     hashes, qpos_seed, seed_valid = sketch_batch(
         events, n_ev,
         diff=diff, w=w, e=e, q=q, k=k,
         fine_min=fine_min, fine_max=fine_max, fine_range=fine_range,
     )
     seed_valid = seed_valid & processed[:, None]
+    return events, n_ev, carry2, processed, hashes, qpos_seed, seed_valid
 
-    # --- seed lookup + occurrence filter (reference: ri_collect_matches) ---
-    start, count = lookup_counts(didx, hashes, seed_valid)
-    flt = count > mid_occ
-    # rep_len: union length of the q-intervals of filtered seeds
-    # (reference: rseed.c:134-151)
+
+def rep_len_from_filtered(qpos_seed, flt, span):
+    """Union length of the q-intervals of occurrence-filtered seeds
+    (reference: rseed.c:134-151)."""
+    b = qpos_seed.shape[0]
     st_i = qpos_seed + 1
     en_i = st_i + span + 1
     en_m = jnp.where(flt, en_i, 0)
@@ -138,22 +99,32 @@ def chunk_step(
         [jnp.zeros((b, 1), en_m.dtype), cummax_en[:, :-1]], axis=1
     )
     contrib = jnp.maximum(en_i - jnp.maximum(st_i, excl), 0)
-    rep_len = jnp.sum(jnp.where(flt, contrib, 0), axis=1).astype(jnp.int32)
-    count = jnp.where(flt, 0, count)
+    return jnp.sum(jnp.where(flt, contrib, 0), axis=1).astype(jnp.int32)
 
-    # --- expansion to anchors (reference: collect_seed_hits, rmap.cpp:51) ---
-    seed_c, hit_id, hit_ps, slot_valid, n_hits, overflow = expand_hits(
-        didx, start, count, a_cap
-    )
-    a_qpos = jnp.take_along_axis(qpos_seed, seed_c, axis=1) + ev_offset[:, None]
-    a_key = ((hit_ps & 1) << 31) | hit_id
-    a_tpos = ((hit_ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
+def finish_chunk(
+    a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+    rep_len, events, n_ev, processed, carry2, ev_offset2,
+    prev_key, prev_tpos, prev_qpos, n_prev,
+    q_rank, target_rank,
+    *,
+    span: int, max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    all_vs_all: bool, keep_events: bool,
+    key_words: int, pos_bits: int,
+    fill=None,
+) -> "ChunkOut":
+    """Back half of the chunk step, shared by the single-device and sharded
+    paths: all-vs-all filter -> carried-anchor merge -> sort -> chain fill ->
+    i16 packing (reference: rmap.cpp:86-121 + mg_lchain_dp, lchain.c:385)."""
+    b, a_cap = a_key.shape
+    p_cap = prev_key.shape[1]
     keep = slot_valid
     if all_vs_all:
         # skip targets whose name sorts <= the query's name
         # (reference: rmap.cpp:86 strcmp(qname, ref_name) >= 0 -> skip)
-        tr = target_rank[jnp.clip(hit_id, 0, target_rank.shape[0] - 1).astype(jnp.int32)]
+        hit_id = (a_key & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        tr = target_rank[jnp.clip(hit_id, 0, target_rank.shape[0] - 1)]
         keep = keep & (tr > q_rank[:, None])
         a_key, n_new = dense_compact(a_key, keep)
         a_tpos, _ = dense_compact(a_tpos, keep)
@@ -186,13 +157,14 @@ def chunk_step(
     # --- chaining DP fill (reference: mg_lchain_dp, lchain.c:385) ---
     # On TPU the Pallas kernel keeps the predecessor ring in VMEM (1.5-4x
     # the lax.scan fill, bit-identical outputs); CPU keeps the scan oracle.
-    _fill = (
-        chain_fill_pallas
-        if jax.default_backend() == "tpu"
-        and not os.environ.get("RAWHASH_TPU_NO_PALLAS")
-        else chain_fill_batch
-    )
-    f, p = _fill(
+    if fill is None:
+        fill = (
+            chain_fill_pallas
+            if jax.default_backend() == "tpu"
+            and not os.environ.get("RAWHASH_TPU_NO_PALLAS")
+            else chain_fill_batch
+        )
+    f, p = fill(
         s_key, s_tpos, s_qpos, n_anchors,
         q_span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
         bw=bw, max_iter=max_iter,
@@ -245,4 +217,93 @@ def chunk_step(
         else jnp.zeros((b, 1), jnp.float16),
         carry=carry2,
         ev_offset=ev_offset2,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "diff", "w", "e", "q", "k",
+        "fine_min", "fine_max", "fine_range",
+        "window_length1", "window_length2",
+        "threshold1", "threshold2", "peak_height",
+        "e_cap", "a_cap",
+        "min_events", "mid_occ",
+        "max_dist_t", "max_dist_q", "bw", "max_iter",
+        "chn_pen_gap", "chn_pen_skip",
+        "all_vs_all", "keep_events",
+        "key_words", "pos_bits",
+    ),
+)
+def chunk_step(
+    didx: DeviceIndex,
+    sig: jnp.ndarray,  # f16/f32 [B, L]
+    carry: NormCarry,
+    ev_offset: jnp.ndarray,  # i32 [B]
+    # ONE packed host upload per chunk (every H2D interaction costs a tunnel
+    # round trip): cols [0:P) carried anchor keys (u32 bits), [P:2P) tpos,
+    # [2P:3P) qpos, [3P] n_prev, [3P+1] slen
+    prev_pack: jnp.ndarray,  # i32 [B, 3P+2]
+    q_rank: jnp.ndarray,  # i32 [B] query name rank (ava; device-resident)
+    target_rank: jnp.ndarray,  # i32 [n_seq] target name ranks (ava only)
+    *,
+    # sketch/index params (from the index build)
+    diff: float, w: int, e: int, q: int, k: int,
+    fine_min: float, fine_max: float, fine_range: float,
+    # event detector params
+    window_length1: int, window_length2: int,
+    threshold1: float, threshold2: float, peak_height: float,
+    # capacities
+    e_cap: int, a_cap: int,
+    # mapping params
+    min_events: int, mid_occ: int,
+    max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    all_vs_all: bool,
+    keep_events: bool = False,
+    # D2H anchor packing: (rev, tid, tpos) occupy `key_words` i16 words;
+    # pos_bits = bits for tpos inside the combined value (key_words <= 2)
+    key_words: int = 4, pos_bits: int = 0,
+) -> ChunkOut:
+    span = k + e - 1
+    sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
+    prev_key, prev_tpos, prev_qpos, n_prev, slen = decode_prev_pack(prev_pack)
+
+    # --- events + sketch (reference: revent.c:257, rsketch.c:271) ---
+    events, n_ev, carry2, processed, hashes, qpos_seed, seed_valid = (
+        events_and_sketch(
+            sig, slen, carry,
+            window_length1=window_length1, window_length2=window_length2,
+            threshold1=threshold1, threshold2=threshold2,
+            peak_height=peak_height, e_cap=e_cap, min_events=min_events,
+            diff=diff, w=w, e=e, q=q, k=k,
+            fine_min=fine_min, fine_max=fine_max, fine_range=fine_range,
+        )
+    )
+    ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
+
+    # --- seed lookup + occurrence filter (reference: ri_collect_matches) ---
+    start, count = lookup_counts(didx, hashes, seed_valid)
+    flt = count > mid_occ
+    rep_len = rep_len_from_filtered(qpos_seed, flt, span)
+    count = jnp.where(flt, 0, count)
+
+    # --- expansion to anchors (reference: collect_seed_hits, rmap.cpp:51) ---
+    seed_c, hit_id, hit_ps, slot_valid, n_hits, overflow = expand_hits(
+        didx, start, count, a_cap
+    )
+    a_qpos = jnp.take_along_axis(qpos_seed, seed_c, axis=1) + ev_offset[:, None]
+    a_key = ((hit_ps & 1) << 31) | hit_id
+    a_tpos = ((hit_ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    return finish_chunk(
+        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+        rep_len, events, n_ev, processed, carry2, ev_offset2,
+        prev_key, prev_tpos, prev_qpos, n_prev,
+        q_rank, target_rank,
+        span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
+        bw=bw, max_iter=max_iter,
+        chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+        all_vs_all=all_vs_all, keep_events=keep_events,
+        key_words=key_words, pos_bits=pos_bits,
     )

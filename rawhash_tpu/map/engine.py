@@ -105,7 +105,16 @@ class MappingEngine:
         self.iopt = index.opts
         self.mopt = mopt
         update_mid_occ(mopt, index)
-        self.didx = DeviceIndex.from_host(index, device)
+        # multi-chip mode: table hash-range-sharded over `shard`, batch over
+        # all devices; the single-device path keeps the prefix-table index
+        if getattr(mopt, "n_shards", 0) >= 1:
+            from ..parallel.dist import DistContext, make_mesh
+
+            self.dist = DistContext(index, make_mesh(None, mopt.n_shards))
+            self.didx = None
+        else:
+            self.dist = None
+            self.didx = DeviceIndex.from_host(index, device)
         self.span = self.iopt.k + self.iopt.e - 1
         # chain penalties (reference: rmap.cpp:318)
         self.chn_pen_gap = float(
@@ -332,16 +341,19 @@ class _BatchState:
         (self.l_chunk, self.max_chunk, self.e_cap, self.a_cap,
          self.p_cap) = engine._plan(self.qlens)
         b, p_cap = self.b, self.p_cap
-        self.carry = NormCarry.zeros(b)
-        self.ev_offset = jnp.zeros(b, jnp.int32)
+        # device-side arrays pad the batch to the mesh size in dist mode
+        # (padded rows have slen 0 and never produce anchors)
+        self.b_dev = engine.dist.pad_batch(b) if engine.dist else b
+        self.carry = NormCarry.zeros(self.b_dev)
+        self.ev_offset = jnp.zeros(self.b_dev, jnp.int32)
         self.prev_key = np.full((b, p_cap), 0xFFFFFFFF, dtype=np.uint32)
         self.prev_tpos = np.zeros((b, p_cap), dtype=np.int32)
         self.prev_qpos = np.zeros((b, p_cap), dtype=np.int32)
         self.n_prev = np.zeros(b, dtype=np.int32)
         # uploaded once per batch, reused across chunks (device-resident)
-        self.q_rank_dev = jnp.asarray(np.array(
-            [engine._q_rank(n) for n in self.names], dtype=np.int32
-        ))
+        ranks = np.zeros(self.b_dev, dtype=np.int32)
+        ranks[:b] = [engine._q_rank(n) for n in self.names]
+        self.q_rank_dev = jnp.asarray(ranks)
         self.active = np.ones(b, dtype=bool)
         self.last_regs = [[] for _ in range(b)]
         self.c_counts = np.zeros(b, dtype=np.int64)
@@ -368,8 +380,8 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     io = engine.iopt
     c = st.chunk_idx
     no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
-    chunk = np.zeros((st.b, st.l_chunk), dtype=np.float32)
-    slen = np.zeros(st.b, dtype=np.int32)
+    chunk = np.zeros((st.b_dev, st.l_chunk), dtype=np.float32)
+    slen = np.zeros(st.b_dev, dtype=np.int32)
     for i in range(st.b):
         if not st.active[i]:
             continue
@@ -380,22 +392,17 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         chunk[i, : seg.shape[0]] = seg
         slen[i] = seg.shape[0]
     t_sub = time.perf_counter()
-    sig_dev = jnp.asarray(chunk.astype(engine.signal_dtype))
+    sig_dev = chunk.astype(engine.signal_dtype)
     # single packed i32 upload: carried anchors + n_prev + slen (each
     # separate H2D pays a tunnel round trip)
     p_cap = st.p_cap
-    pack = np.empty((st.b, 3 * p_cap + 2), dtype=np.int32)
-    pack[:, :p_cap] = st.prev_key.view(np.int32)
-    pack[:, p_cap : 2 * p_cap] = st.prev_tpos
-    pack[:, 2 * p_cap : 3 * p_cap] = st.prev_qpos
-    pack[:, 3 * p_cap] = st.n_prev
+    pack = np.zeros((st.b_dev, 3 * p_cap + 2), dtype=np.int32)
+    pack[: st.b, :p_cap] = st.prev_key.view(np.int32)
+    pack[: st.b, p_cap : 2 * p_cap] = st.prev_tpos
+    pack[: st.b, 2 * p_cap : 3 * p_cap] = st.prev_qpos
+    pack[: st.b, 3 * p_cap] = st.n_prev
     pack[:, 3 * p_cap + 1] = slen
-    out = chunk_step(
-        engine.didx,
-        sig_dev, st.carry,
-        st.ev_offset,
-        jnp.asarray(pack),
-        st.q_rank_dev, engine._target_rank,
+    params = dict(
         diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
         fine_min=io.fine_min, fine_max=io.fine_max,
         fine_range=io.fine_range,
@@ -413,6 +420,16 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
         key_words=engine._key_words, pos_bits=engine._pos_bits,
     )
+    if engine.dist is not None:
+        out = engine.dist.step(
+            sig_dev, st.carry, st.ev_offset, pack,
+            st.q_rank_dev, engine._target_rank, **params,
+        )
+    else:
+        out = chunk_step(
+            engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
+            jnp.asarray(pack), st.q_rank_dev, engine._target_rank, **params,
+        )
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
     # speculative prefix of the packed anchors sized from the last chunk's
@@ -454,7 +471,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # otherwise fall back to one exact-width fetch (anchors are sorted
     # valid-first; width rounds up to 128 so the slice program compiles only
     # a handful of variants)
-    h_scal = np.asarray(out.scalars)
+    h_scal = np.asarray(out.scalars)[: st.b]
     h_nanc = h_scal[:, 0]
     h_rep = h_scal[:, 1]
     h_nev = h_scal[:, 2]
@@ -464,9 +481,9 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     nmax = int(h_nanc.max()) if h_nanc.size else 0
     ncut = min(ncols, max(128, (nmax + 127) & ~127))
     if spec is not None and spec.shape[1] >= ncut:
-        hp = np.asarray(spec)[:, :ncut, :]
+        hp = np.asarray(spec)[: st.b, :ncut, :]
     else:
-        hp = np.asarray(out.packed[:, :ncut, :])
+        hp = np.asarray(out.packed[:, :ncut, :])[: st.b]
     # next chunk's speculative width: this chunk's live width + one block of
     # headroom (benign cross-batch race: plain int store)
     engine._spec_ncut = min(ncols, ncut + 128)
@@ -501,7 +518,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
-        h_events = np.asarray(out.events).astype(np.float32)
+        h_events = np.asarray(out.events)[: st.b].astype(np.float32)
     with engine._stats_lock:
         engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
 

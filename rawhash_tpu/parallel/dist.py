@@ -1,21 +1,26 @@
 """Multi-chip distribution: hash-range index sharding + collective seed merge.
 
 The reference is single-node with a shared in-RAM khash (SURVEY.md §2.4); the
-TPU-native scale-out axis is net-new:
+TPU-native scale-out axis is net-new.  The design:
 
-  * the CSR seed table is split into `n_shard` contiguous hash ranges, each
+  * the CSR seed table is split into `n_shards` contiguous hash ranges, each
     shard's offsets rebased to its local position slice (shard_index)
-  * the mesh is 2D (dp, shard): read batches ride `dp`, the table rides
-    `shard`
-  * seed lookup runs under shard_map: every device probes its local key
-    range; per-seed hit counts and expanded anchor slots are combined with
-    `psum` over the `shard` axis (each global key has exactly one owner, so
-    the sums are exact merges)
-  * event detection / sketching / chaining are batch-wise programs; XLA
-    partitions them along `dp` from the input shardings with no collectives
+  * the mesh is 2D (dp, shard): the table rides `shard`; read batches ride
+    BOTH axes flattened — every per-read stage (events, sketch, sort, chain
+    fill) is pure data parallelism over all dp*shard devices
+  * the WHOLE chunk step runs inside one shard_map.  The only cross-device
+    communication is the seed-hit merge: `all_gather` the shard-column's
+    query hashes over `shard`, probe the local key range, then
+    `psum_scatter` the expanded anchor planes back (each global key has
+    exactly one owner shard, so the sums are exact merges and slot
+    assignment is identical to the single-device CSR expansion)
+  * everything after the lookup is the SAME code as the single-device step
+    (map/device_step.py::finish_chunk): prev-anchor carry, rep_len,
+    all-vs-all filter, Pallas chain fill — so sharded PAF == single PAF
 
-With n_shard=1 this degrades to pure data parallelism; with one process per
-host, `jax.distributed.initialize` + the same mesh spans hosts (ICI/DCN).
+With n_shards=1 the collectives are no-ops and this is pure DP; with one
+process per host, `jax.distributed.initialize` (parallel/multihost.py) + the
+same mesh spans hosts (ICI/DCN).
 """
 
 from __future__ import annotations
@@ -29,6 +34,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.build import RawIndex
+from ..map.device_step import (
+    ChunkOut,
+    decode_prev_pack,
+    events_and_sketch,
+    finish_chunk,
+    rep_len_from_filtered,
+)
+from ..signal.events import NormCarry
 
 U32_MAX = np.uint32(0xFFFFFFFF)
 
@@ -72,8 +85,16 @@ def shard_index(index: RawIndex, n_shards: int) -> ShardedIndexArrays:
     return ShardedIndexArrays(keys, offsets, pos_id, pos_ps, index.n_seq)
 
 
+def make_mesh(n_devices: int | None = None, n_shards: int = 2) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    n_shards = min(n_shards, n)
+    dp = n // n_shards
+    return Mesh(np.array(devs[: dp * n_shards]).reshape(dp, n_shards), ("dp", "shard"))
+
+
 def _local_lookup(keys, offsets, hashes, valid):
-    """Per-shard binary-search lookup (device-local view)."""
+    """Per-shard binary-search lookup (device-local key range)."""
     kpad = keys.shape[0]
     i = jnp.searchsorted(keys, hashes.reshape(-1), side="left").reshape(hashes.shape)
     i_c = jnp.clip(i, 0, kpad - 1)
@@ -83,137 +104,194 @@ def _local_lookup(keys, offsets, hashes, valid):
     return jnp.where(found, start, 0), count.astype(jnp.int32), found
 
 
-def make_sharded_seed_lookup(mesh: Mesh, a_cap: int):
-    """Build the shard_map'd lookup+expand collective.
+def _sharded_lookup_expand(
+    keys, offsets, pos_id, pos_ps,
+    hashes, qpos_seed, valid, ev_offset, mid_occ: int, a_cap: int,
+):
+    """Seed lookup + CSR expansion across the `shard` axis.
 
-    Returns fn(keys, offsets, pos_id, pos_ps, hashes, qpos, valid, mid_occ)
-    -> (anchor key/tpos/qpos planes [B, a_cap], n_hits [B], rep-filter counts)
-    where index arrays are sharded over 'shard' and read arrays over 'dp'.
+    Runs inside shard_map.  hashes/qpos/valid are this device's local batch
+    rows; the table args are this device's hash-range shard.  Produces the
+    SAME anchors in the SAME slots as index/device.py::expand_hits on the
+    unsharded table: global slot assignment comes from the psum-merged
+    per-seed counts, each slot is filled by its key's unique owner shard,
+    and psum_scatter returns the merged rows to their batch owners.
     """
+    n_sh = jax.lax.axis_size("shard")
+    bl = hashes.shape[0]
+    # every shard needs every batch row of its shard column: gather queries
+    hash_g = jax.lax.all_gather(hashes, "shard", axis=0, tiled=True)
+    valid_g = jax.lax.all_gather(valid, "shard", axis=0, tiled=True)
+    start, count_l, found = _local_lookup(keys, offsets, hash_g, valid_g)
+    count_g = jax.lax.psum(count_l, "shard")  # exact: one owner per key
+    flt = count_g > mid_occ
+    count_g = jnp.where(flt, 0, count_g)
 
-    def body(keys, offsets, pos_id, pos_ps, hashes, qpos, valid, mid_occ):
-        # per-device views: keys [1, Kpad] etc., hashes [B_dp, S]
-        keys = keys[0]
-        offsets = offsets[0]
-        pos_id = pos_id[0]
-        pos_ps = pos_ps[0]
-        start, count_l, found = _local_lookup(keys, offsets, hashes, valid)
-        count_g = jax.lax.psum(count_l, "shard")  # exact: one owner per key
-        flt = count_g > mid_occ
-        count_g = jnp.where(flt, 0, count_g)
-        count_l = jnp.where(flt, 0, count_l)
+    # global slot assignment, identical on every shard after the psum
+    # (same marker+cummax construction as index/device.py::expand_hits)
+    bg, s = count_g.shape
+    ccum = jnp.cumsum(count_g, axis=1)
+    n_hits_full = ccum[:, -1]
+    n_hits = jnp.minimum(n_hits_full, a_cap)
+    cum_before = ccum - count_g
+    slots = jax.lax.broadcasted_iota(jnp.int32, (bg, a_cap), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bg, s), 0)
+    tgt = jnp.where((count_g > 0) & (cum_before < a_cap), cum_before, a_cap)
+    seed_ids = jax.lax.broadcasted_iota(jnp.int32, (bg, s), 1)
+    marker = (
+        jnp.zeros((bg, a_cap + 1), jnp.int32)
+        .at[rows, tgt]
+        .max(seed_ids)[:, :a_cap]
+    )
+    seed_c = jax.lax.cummax(marker, axis=1)
+    slot_valid = slots < n_hits[:, None]
+    occ = slots - jnp.take_along_axis(cum_before, seed_c, axis=1)
+    mine = jnp.take_along_axis(found & (~flt), seed_c, axis=1) & slot_valid
+    fetch = jnp.take_along_axis(start, seed_c, axis=1) + occ
+    fetch = jnp.where(mine, fetch, 0)
+    hid = jnp.where(mine, pos_id[fetch], jnp.uint32(0)).astype(jnp.int32)
+    hps = jnp.where(mine, pos_ps[fetch], jnp.uint32(0)).astype(jnp.int32)
+    # merge shard contributions and return each device its own batch block
+    # (sum over `shard` is exact: exactly one shard owns each slot's key)
+    hid = jax.lax.psum_scatter(hid, "shard", scatter_dimension=0, tiled=True)
+    hps = jax.lax.psum_scatter(hps, "shard", scatter_dimension=0, tiled=True)
+    hid = hid.astype(jnp.uint32)
+    hps = hps.astype(jnp.uint32)
 
-        # global slot assignment (identical on every shard after psum)
-        b, s = count_g.shape
-        ccum = jnp.cumsum(count_g, axis=1)
-        n_hits = jnp.minimum(ccum[:, -1], a_cap)
-        cum_before = ccum - count_g
-        slots = jax.lax.broadcasted_iota(jnp.int32, (b, a_cap), 1)
-        seed_idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-            ccum, slots
-        ).astype(jnp.int32)
-        seed_c = jnp.clip(seed_idx, 0, s - 1)
-        slot_valid = slots < n_hits[:, None]
-        occ = slots - jnp.take_along_axis(cum_before, seed_c, axis=1)
-        mine = jnp.take_along_axis(found & (~flt), seed_c, axis=1) & slot_valid
-        fetch = jnp.take_along_axis(start, seed_c, axis=1) + occ
-        fetch = jnp.where(mine, fetch, 0)
-        hid = jnp.where(mine, pos_id[fetch], 0)
-        hps = jnp.where(mine, pos_ps[fetch], 0)
-        # merge shard contributions: each slot is filled by exactly one shard
-        hid = jax.lax.psum(hid, "shard")
-        hps = jax.lax.psum(hps, "shard")
-        a_key = ((hps & 1) << 31) | hid
-        a_tpos = ((hps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        a_qpos = jnp.take_along_axis(qpos, seed_c, axis=1)
-        return a_key, a_tpos, a_qpos, slot_valid, n_hits, flt
-
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            P("shard", None), P("shard", None), P("shard", None), P("shard", None),
-            P("dp", None), P("dp", None), P("dp", None), P(),
-        ),
-        out_specs=(
-            P("dp", None), P("dp", None), P("dp", None), P("dp", None),
-            P("dp"), P("dp", None),
-        ),
-        check_vma=False,
+    # slice the replicated per-row stats back to this device's batch block
+    my = jax.lax.axis_index("shard") * bl
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, my, bl, 0)
+    seed_c_l = sl(seed_c)
+    a_qpos = jnp.take_along_axis(qpos_seed, seed_c_l, axis=1) + ev_offset[:, None]
+    a_key = ((hps & 1) << 31) | hid
+    a_tpos = ((hps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    return (
+        a_key, a_tpos, a_qpos,
+        sl(slot_valid), sl(n_hits), sl(jnp.maximum(n_hits_full - a_cap, 0)),
+        sl(flt),
     )
 
 
-def make_mesh(n_devices: int | None = None, n_shards: int = 2) -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
-    n = len(devs)
-    n_shards = min(n_shards, n)
-    dp = n // n_shards
-    return Mesh(np.array(devs[: dp * n_shards]).reshape(dp, n_shards), ("dp", "shard"))
+@functools.lru_cache(maxsize=64)
+def _build_dist_step(mesh: Mesh, statics: tuple):
+    """Trace-and-cache one sharded chunk step per (mesh, param set)."""
+    st = dict(statics)
+    span = st["k"] + st["e"] - 1
+    bspec = P(("dp", "shard"))  # batch over ALL devices
+    tspec = P("shard", None)  # table over the shard axis
 
-
-def distributed_chunk_fn(mesh: Mesh, sharded: ShardedIndexArrays, statics: dict):
-    """The full distributed mapping step over a (dp, shard) mesh.
-
-    sig/slen/carries ride `dp`; the seed table rides `shard`; the seed-hit
-    merge is the only cross-device communication (psum over `shard`).
-    Returns a jitted fn(sig, slen, carry_tuple, ev_offset) -> chained outputs.
-    """
-    from ..chain.device import chain_fill_batch
-    from ..signal.events import NormCarry, detect_events_batch
-    from ..sketch.device import sketch_batch
-
-    a_cap = statics["a_cap"]
-    lookup = make_sharded_seed_lookup(mesh, a_cap)
-    shard_spec = NamedSharding(mesh, P("shard", None))
-    dp_spec = NamedSharding(mesh, P("dp", None))
-    dp1_spec = NamedSharding(mesh, P("dp"))
-
-    d_keys = jax.device_put(sharded.keys, shard_spec)
-    d_offsets = jax.device_put(sharded.offsets, shard_spec)
-    d_pid = jax.device_put(sharded.pos_id, shard_spec)
-    d_pps = jax.device_put(sharded.pos_ps, shard_spec)
-
-    @functools.partial(jax.jit)
-    def step(sig, slen, carry_sum, carry_sumsq, carry_n, ev_offset):
-        carry = NormCarry(carry_sum, carry_sumsq, carry_n)
-        events, n_ev, carry2 = detect_events_batch(
-            sig, slen, carry,
-            window_length1=statics["window_length1"],
-            window_length2=statics["window_length2"],
-            threshold1=statics["threshold1"], threshold2=statics["threshold2"],
-            peak_height=statics["peak_height"], e_cap=statics["e_cap"],
+    def body(
+        keys, offsets, pos_id, pos_ps,
+        sig, c_sum, c_sumsq, c_n, ev_offset, prev_pack, q_rank, target_rank,
+    ):
+        keys, offsets = keys[0], offsets[0]
+        pos_id, pos_ps = pos_id[0], pos_ps[0]
+        sig = sig.astype(jnp.float32)
+        carry = NormCarry(c_sum, c_sumsq, c_n)
+        prev_key, prev_tpos, prev_qpos, n_prev, slen = decode_prev_pack(prev_pack)
+        events, n_ev, carry2, processed, hashes, qpos_seed, seed_valid = (
+            events_and_sketch(
+                sig, slen, carry,
+                window_length1=st["window_length1"],
+                window_length2=st["window_length2"],
+                threshold1=st["threshold1"], threshold2=st["threshold2"],
+                peak_height=st["peak_height"], e_cap=st["e_cap"],
+                min_events=st["min_events"],
+                diff=st["diff"], w=st["w"], e=st["e"], q=st["q"], k=st["k"],
+                fine_min=st["fine_min"], fine_max=st["fine_max"],
+                fine_range=st["fine_range"],
+            )
         )
-        processed = n_ev >= statics["min_events"]
-        hashes, qpos, valid = sketch_batch(
-            events, n_ev,
-            diff=statics["diff"], w=statics["w"], e=statics["e"],
-            q=statics["q"], k=statics["k"],
-            fine_min=statics["fine_min"], fine_max=statics["fine_max"],
-            fine_range=statics["fine_range"],
+        ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
+        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow, flt = (
+            _sharded_lookup_expand(
+                keys, offsets, pos_id, pos_ps,
+                hashes, qpos_seed, seed_valid, ev_offset,
+                st["mid_occ"], st["a_cap"],
+            )
         )
-        valid = valid & processed[:, None]
-        a_key, a_tpos, a_qpos, slot_valid, n_hits, flt = lookup(
-            d_keys, d_offsets, d_pid, d_pps, hashes, qpos,
-            valid, jnp.int32(statics["mid_occ"]),
+        rep_len = rep_len_from_filtered(qpos_seed, flt, span)
+        out = finish_chunk(
+            a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+            rep_len, events, n_ev, processed, carry2, ev_offset2,
+            prev_key, prev_tpos, prev_qpos, n_prev,
+            q_rank, target_rank,
+            span=span,
+            max_dist_t=st["max_dist_t"], max_dist_q=st["max_dist_q"],
+            bw=st["bw"], max_iter=st["max_iter"],
+            chn_pen_gap=st["chn_pen_gap"], chn_pen_skip=st["chn_pen_skip"],
+            all_vs_all=st["all_vs_all"], keep_events=st["keep_events"],
+            key_words=st["key_words"], pos_bits=st["pos_bits"],
         )
-        a_qpos = a_qpos + ev_offset[:, None]
-        span = statics["k"] + statics["e"] - 1
-        s_key, s_tpos, s_qpos = jax.lax.sort(
-            (
-                jnp.where(slot_valid, a_key, jnp.uint32(0xFFFFFFFF)),
-                jnp.where(slot_valid, a_tpos, jnp.int32(0x7FFFFFFF)),
-                a_qpos,
-            ),
-            dimension=1, num_keys=2, is_stable=True,
+        return (
+            out.packed, out.scalars, out.events,
+            out.carry.sum, out.carry.sum_sq, out.carry.n, out.ev_offset,
         )
-        f, p = chain_fill_batch(
-            s_key, s_tpos, s_qpos, n_hits.astype(jnp.int32),
-            q_span=span,
-            max_dist_t=statics["max_dist_t"], max_dist_q=statics["max_dist_q"],
-            bw=statics["bw"], max_iter=statics["max_iter"],
-            chn_pen_gap=statics["chn_pen_gap"],
-            chn_pen_skip=statics["chn_pen_skip"],
-        )
-        return s_key, s_tpos, s_qpos, n_hits, f, p, n_ev, carry2, ev_offset + n_ev
 
-    return step, (dp_spec, dp1_spec)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            tspec, tspec, tspec, tspec,
+            P(("dp", "shard"), None), bspec, bspec, bspec, bspec,
+            P(("dp", "shard"), None), bspec, P(),
+        ),
+        out_specs=(
+            P(("dp", "shard"), None, None), P(("dp", "shard"), None),
+            P(("dp", "shard"), None), bspec, bspec, bspec, bspec,
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def mp_put(arr, sharding):
+    """device_put that also works when the mesh spans processes: each
+    process materializes only its addressable shards from the (identical)
+    host value.  Device arrays (chunk-step outputs fed back as carries) pass
+    through — they already carry the step's out_spec sharding."""
+    if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray):
+        return arr
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda i: arr[i])
+
+
+class DistContext:
+    """Everything the MappingEngine needs to run chunks on a (dp, shard)
+    mesh: the mesh, device-resident sharded table, and cached jitted steps."""
+
+    def __init__(self, index: RawIndex, mesh: Mesh):
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size
+        sharded = shard_index(index, mesh.shape["shard"])
+        tspec = NamedSharding(mesh, P("shard", None))
+        self.keys = mp_put(sharded.keys, tspec)
+        self.offsets = mp_put(sharded.offsets, tspec)
+        self.pos_id = mp_put(sharded.pos_id, tspec)
+        self.pos_ps = mp_put(sharded.pos_ps, tspec)
+        self.bspec = NamedSharding(mesh, P(("dp", "shard")))
+        self.bspec2 = NamedSharding(mesh, P(("dp", "shard"), None))
+        self.rspec = NamedSharding(mesh, P())
+
+    def pad_batch(self, b: int) -> int:
+        n = self.n_devices
+        return ((b + n - 1) // n) * n
+
+    def step(self, sig, carry, ev_offset, prev_pack, q_rank, target_rank,
+             **statics) -> ChunkOut:
+        fn = _build_dist_step(self.mesh, tuple(sorted(statics.items())))
+        put = lambda a, s: mp_put(a, s)
+        (packed, scalars, events, c_sum, c_sumsq, c_n, ev_off2) = fn(
+            self.keys, self.offsets, self.pos_id, self.pos_ps,
+            put(sig, self.bspec2),
+            put(carry.sum, self.bspec), put(carry.sum_sq, self.bspec),
+            put(carry.n, self.bspec),
+            put(ev_offset, self.bspec), put(prev_pack, self.bspec2),
+            put(q_rank, self.bspec), put(target_rank, self.rspec),
+        )
+        return ChunkOut(
+            packed=packed, scalars=scalars, events=events,
+            carry=NormCarry(c_sum, c_sumsq, c_n), ev_offset=ev_off2,
+        )
