@@ -126,7 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-depth", type=int, default=None,
                    help="read batches in flight (device/host overlap)")
     p.add_argument("--max-anchors", type=int, default=None,
-                   help="per-read anchor capacity (TPU engine)")
+                   help="initial per-read anchor capacity (TPU engine; grows "
+                        "on overflow up to --max-anchor-cap)")
+    p.add_argument("--max-anchor-cap", type=int, default=None,
+                   help="ceiling for overflow-retry anchor growth "
+                        "(0 disables growth)")
     p.add_argument("--n-shards", type=int, default=None,
                    help="shard the seed table over a (dp, shard) device mesh "
                         "(TPU scale-out; 1 = pure data parallelism)")
@@ -218,6 +222,7 @@ def options_from_args(args) -> tuple[IndexOptions, MapOptions]:
     mp("batch_reads", args.batch_reads)
     mp("pipeline_depth", args.pipeline_depth)
     mp("max_anchors_per_read", args.max_anchors)
+    mp("max_anchor_cap", args.max_anchor_cap)
     mp("n_shards", args.n_shards)
     if args.mini_batch:
         mo.mini_batch_size = parse_num(args.mini_batch)

@@ -193,7 +193,11 @@ class MapOptions:
     # bound the padded device arrays.  Overflow is counted and reported.
     max_events_per_chunk: int = 768  # events kept per chunk (~chunk/5 + headroom)
     max_seeds_per_chunk: int = 768
-    max_anchors_per_read: int = 4096  # total anchor budget for the chaining DP
+    max_anchors_per_read: int = 4096  # INITIAL anchor budget for the chaining DP
+    # hard ceiling for the overflow-retry capacity growth (a chunk whose hit
+    # count exceeds the live a_cap is re-run at doubled capacity — the
+    # reference never truncates hits, rseed.c:105-154); 0 disables growth
+    max_anchor_cap: int = 1 << 17
     batch_reads: int = 256  # reads mapped concurrently on device
     # multi-chip scale-out (net-new vs the reference, SURVEY.md §2.4): >0
     # activates the (dp, shard) mesh over all visible devices with the seed

@@ -112,6 +112,7 @@ def finish_chunk(
     chn_pen_gap: float, chn_pen_skip: float,
     all_vs_all: bool, keep_events: bool,
     key_words: int, pos_bits: int,
+    wide: bool = False,
     fill=None,
 ) -> "ChunkOut":
     """Back half of the chunk step, shared by the single-device and sharded
@@ -172,6 +173,37 @@ def finish_chunk(
     )
 
     n_total = s_key.shape[1]
+    if wide:
+        # i32 packing for large anchor capacities (n_total >= 2^15) or
+        # genome-scale qpos/score ranges: 5 words [key, tpos, qpos, f, p].
+        # Twice the bytes of the narrow layout, used only when the engine's
+        # capacity growth crosses the int16 range (reference never
+        # truncates hits: rh_kvec growth, rseed.c:105-154)
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(s_key, jnp.int32)[:, :, None],
+                s_tpos[:, :, None],
+                s_qpos[:, :, None],
+                f[:, :, None],
+                p[:, :, None],
+            ],
+            axis=2,
+        )
+        scalars = jnp.stack(
+            [
+                n_anchors, rep_len, n_ev,
+                processed.astype(jnp.int32), overflow.astype(jnp.int32),
+                ev_offset2,
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        return ChunkOut(
+            packed=packed, scalars=scalars,
+            events=events.astype(jnp.float16) if keep_events
+            else jnp.zeros((b, 1), jnp.float16),
+            carry=carry2,
+            ev_offset=ev_offset2,
+        )
     assert n_total < (1 << 15), "anchor capacity must fit int16 packing"
     if key_words <= 2:
         # (rev, tid, tpos) fit `key_words` i16 words:
@@ -232,7 +264,7 @@ def finish_chunk(
         "max_dist_t", "max_dist_q", "bw", "max_iter",
         "chn_pen_gap", "chn_pen_skip",
         "all_vs_all", "keep_events",
-        "key_words", "pos_bits",
+        "key_words", "pos_bits", "wide",
     ),
 )
 def chunk_step(
@@ -262,8 +294,9 @@ def chunk_step(
     all_vs_all: bool,
     keep_events: bool = False,
     # D2H anchor packing: (rev, tid, tpos) occupy `key_words` i16 words;
-    # pos_bits = bits for tpos inside the combined value (key_words <= 2)
-    key_words: int = 4, pos_bits: int = 0,
+    # pos_bits = bits for tpos inside the combined value (key_words <= 2);
+    # wide switches to the 5-word i32 layout (capacities >= 2^15)
+    key_words: int = 4, pos_bits: int = 0, wide: bool = False,
 ) -> ChunkOut:
     span = k + e - 1
     sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
@@ -305,5 +338,5 @@ def chunk_step(
         bw=bw, max_iter=max_iter,
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
         all_vs_all=all_vs_all, keep_events=keep_events,
-        key_words=key_words, pos_bits=pos_bits,
+        key_words=key_words, pos_bits=pos_bits, wide=wide,
     )

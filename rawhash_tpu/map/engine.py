@@ -153,6 +153,7 @@ class MappingEngine:
         # speculative D2H prefix width for the packed anchor fetch (learned
         # from the previous chunk's live width; 0 = first chunk, exact fetch)
         self._spec_ncut = 0
+        self._occ_cache = None  # position-weighted occupancy (mu, sigma)
 
     # ---------- helpers ----------
 
@@ -296,33 +297,58 @@ class MappingEngine:
 
     # ---------- batched chunk-loop state machine ----------
 
+    def _occ_stats(self):
+        """Position-weighted occupancy statistics of the filtered index.
+
+        A query seed drawn from the genome hits key k with probability
+        proportional to count(k); keys with count > mid_occ are filtered to
+        zero hits (rseed.c:105-133).  So expected hits per seed is the
+        position-weighted mean mu = sum(c_k^2 | c_k<=mid) / sum(c_k), and the
+        per-chunk hit total over ~e_cap seeds concentrates around
+        e_cap*mu +/- sqrt(e_cap)*sigma.  Sizing from (mu, sigma) instead of
+        the key-mean keeps repeat-rich genomes from overflowing (the
+        reference never truncates: rh_kvec growth, rseed.c:105-154)."""
+        if self._occ_cache is None:
+            counts = self.index.counts().astype(np.float64)
+            tot = counts.sum()
+            if tot <= 0:
+                self._occ_cache = (1.0, 0.0)
+            else:
+                surv = counts[counts <= self.mopt.mid_occ]
+                mu = float((surv**2).sum() / tot)
+                ex2 = float((surv**3).sum() / tot)
+                sigma = float(np.sqrt(max(ex2 - mu * mu, 0.0)))
+                self._occ_cache = (mu, sigma)
+        return self._occ_cache
+
     def _plan(self, qlens: np.ndarray):
         """Static capacities for a batch (NO_ADAPTIVE maps the whole read in
-        one chunk, reference: rmap.cpp:403-404)."""
+        one chunk, reference: rmap.cpp:403-404).  These are the *initial*
+        capacities: the chunk loop grows a_cap/p_cap (and escalates to the
+        wide i32 packing) whenever a chunk overflows, so no hit is ever
+        silently dropped (reference semantics: rh_kvec never truncates)."""
         mo = self.mopt
         if mo.flag & MapFlag.NO_ADAPTIVE:
             l_chunk = int(max(1, qlens.max()))
             l_chunk = ((l_chunk + 4095) // 4096) * 4096
             max_chunk = 1
             e_cap = max(256, min(l_chunk // 3, 1 << 14))
-            # int16 predecessor packing bounds total anchors to < 2^15
-            a_cap = min(max(mo.max_anchors_per_read, 4 * e_cap), 32000)
+            mu, sigma = self._occ_stats()
+            expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
+            a_cap = max(mo.max_anchors_per_read, (expected + 127) & ~127, 512)
+            a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
             p_cap = 8  # single chunk: carried anchors unused
         else:
             l_chunk = int(mo.chunk_size)
             max_chunk = int(mo.max_num_chunk)
             e_cap = mo.max_events_per_chunk
-            # expected hits/chunk ~ query seeds x mean key occurrence; size
-            # the new-hit buffer from index stats within the user's total
-            # anchor budget (the reference grows dynamically; we pick static
-            # capacities and report overflows)
-            n_keys = max(1, self.index.keys.shape[0])
-            mean_occ = self.index.n_seeds / n_keys
-            # 2x headroom over the mean-occupancy estimate: the reference
-            # never truncates hits, so tail reads should not either
-            expected = int(e_cap * min(mean_occ, 8.0) * 1.5)
+            # expected hits/chunk = seeds/chunk x position-weighted mean
+            # occupancy, + 4 sigma of the sum for repeat-tail headroom
+            mu, sigma = self._occ_stats()
+            expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
             total = mo.max_anchors_per_read
             a_cap = min(max(512, (expected + 127) & ~127), (2 * total) // 3)
+            a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
             p_cap = total - a_cap
         return l_chunk, max_chunk, e_cap, a_cap, p_cap
 
@@ -366,9 +392,71 @@ class _BatchState:
         self.pending = None  # in-flight ChunkOut
         self.pending_slen = None
         self.pending_spec = None  # speculative packed-prefix (async D2H)
+        self.pending_inputs = None  # (sig_dev, pack) kept for overflow retry
+        # wide i32 packing whenever anchor indices or event offsets can
+        # exceed the int16 range (the narrow layout halves D2H bytes)
+        self.wide = (self.a_cap + self.p_cap >= (1 << 15)) or (
+            self.e_cap * self.max_chunk >= 32700
+        )
 
     def done(self) -> bool:
         return self.chunk_idx >= self.max_chunk or not self.active.any()
+
+    def grow_prev(self, need: int, cap_ceil: int) -> None:
+        """Widen the carried-anchor buffers to hold `need` chain anchors
+        (the reference carries every chain anchor into the next chunk,
+        rmap.cpp:111-116 — truncation would change chains)."""
+        new_p = 1 << max(int(np.ceil(np.log2(max(need, 8)))), 3)
+        new_p = min(new_p, cap_ceil)
+        if new_p <= self.p_cap:
+            return
+        b = self.b
+        pk = np.full((b, new_p), 0xFFFFFFFF, dtype=np.uint32)
+        pt = np.zeros((b, new_p), dtype=np.int32)
+        pq = np.zeros((b, new_p), dtype=np.int32)
+        pk[:, : self.p_cap] = self.prev_key
+        pt[:, : self.p_cap] = self.prev_tpos
+        pq[:, : self.p_cap] = self.prev_qpos
+        self.prev_key, self.prev_tpos, self.prev_qpos = pk, pt, pq
+        self.p_cap = new_p
+        self.wide = self.wide or (self.a_cap + self.p_cap >= (1 << 15))
+
+
+def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
+    """Invoke the (single-device or sharded) chunk step with the batch's
+    CURRENT capacities/packing — also the overflow-retry entry point."""
+    import jax.numpy as jnp
+
+    mo = engine.mopt
+    io = engine.iopt
+    params = dict(
+        diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
+        fine_min=io.fine_min, fine_max=io.fine_max,
+        fine_range=io.fine_range,
+        window_length1=mo.window_length1,
+        window_length2=mo.window_length2,
+        threshold1=mo.threshold1, threshold2=mo.threshold2,
+        peak_height=mo.peak_height,
+        e_cap=st.e_cap, a_cap=st.a_cap,
+        min_events=mo.min_events, mid_occ=int(mo.mid_occ),
+        max_dist_t=mo.max_target_gap_length,
+        max_dist_q=mo.max_query_gap_length,
+        bw=mo.bw, max_iter=mo.max_chain_iter,
+        chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
+        all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+        keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
+        key_words=engine._key_words, pos_bits=engine._pos_bits,
+        wide=st.wide,
+    )
+    if engine.dist is not None:
+        return engine.dist.step(
+            sig_dev, st.carry, st.ev_offset, pack,
+            st.q_rank_dev, engine._target_rank, **params,
+        )
+    return chunk_step(
+        engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
+        jnp.asarray(pack), st.q_rank_dev, engine._target_rank, **params,
+    )
 
 
 def _submit_chunk(engine: MappingEngine, st: _BatchState):
@@ -402,34 +490,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     pack[: st.b, 2 * p_cap : 3 * p_cap] = st.prev_qpos
     pack[: st.b, 3 * p_cap] = st.n_prev
     pack[:, 3 * p_cap + 1] = slen
-    params = dict(
-        diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
-        fine_min=io.fine_min, fine_max=io.fine_max,
-        fine_range=io.fine_range,
-        window_length1=mo.window_length1,
-        window_length2=mo.window_length2,
-        threshold1=mo.threshold1, threshold2=mo.threshold2,
-        peak_height=mo.peak_height,
-        e_cap=st.e_cap, a_cap=st.a_cap,
-        min_events=mo.min_events, mid_occ=int(mo.mid_occ),
-        max_dist_t=mo.max_target_gap_length,
-        max_dist_q=mo.max_query_gap_length,
-        bw=mo.bw, max_iter=mo.max_chain_iter,
-        chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
-        all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
-        keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
-        key_words=engine._key_words, pos_bits=engine._pos_bits,
-    )
-    if engine.dist is not None:
-        out = engine.dist.step(
-            sig_dev, st.carry, st.ev_offset, pack,
-            st.q_rank_dev, engine._target_rank, **params,
-        )
-    else:
-        out = chunk_step(
-            engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
-            jnp.asarray(pack), st.q_rank_dev, engine._target_rank, **params,
-        )
+    out = _dispatch_step(engine, st, sig_dev, pack)
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
     # speculative prefix of the packed anchors sized from the last chunk's
@@ -451,6 +512,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     st.pending_spec = spec
     st.pending = out
     st.pending_slen = slen
+    st.pending_inputs = (sig_dev, pack)
 
 
 def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
@@ -461,9 +523,9 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     out = st.pending
     slen = st.pending_slen
     spec = st.pending_spec
+    sig_dev, pack = st.pending_inputs
     st.pending = st.pending_slen = st.pending_spec = None
-    st.carry = out.carry
-    st.ev_offset = out.ev_offset
+    st.pending_inputs = None
     t_wait = time.perf_counter()
     # D2H: the tiny scalar block (already en route — copy_to_host_async at
     # submit) gives the exact live-anchor width; if the speculative prefix
@@ -472,6 +534,30 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # valid-first; width rounds up to 128 so the slice program compiles only
     # a handful of variants)
     h_scal = np.asarray(out.scalars)[: st.b]
+    # --- zero-truncation retry: a chunk whose hit count exceeded a_cap is
+    # re-run at grown capacity (power-of-2 covering the true hit total) with
+    # the SAME inputs — carry/ev_offset were not yet committed, so the rerun
+    # is exact.  Reference semantics: hits are never dropped (rh_kvec
+    # growth, rseed.c:105-154); here overflow instead costs one recompile
+    # per capacity step (persistently cached) + one extra device pass.
+    cap_ceil = int(mo.max_anchor_cap)
+    while cap_ceil > 0:
+        need = int(h_scal[:, 4].max()) if h_scal.size else 0
+        if need <= 0 or st.a_cap >= cap_ceil:
+            break
+        total_need = st.a_cap + need
+        new_cap = 1 << int(np.ceil(np.log2(total_need)))
+        st.a_cap = min(max(new_cap, 2 * st.a_cap), cap_ceil)
+        st.wide = st.wide or (st.a_cap + st.p_cap >= (1 << 15))
+        with engine._stats_lock:
+            engine.stats["anchor_regrows"] = (
+                engine.stats.get("anchor_regrows", 0) + 1
+            )
+        out = _dispatch_step(engine, st, sig_dev, pack)
+        spec = None
+        h_scal = np.asarray(out.scalars)[: st.b]
+    st.carry = out.carry
+    st.ev_offset = out.ev_offset
     h_nanc = h_scal[:, 0]
     h_rep = h_scal[:, 1]
     h_nev = h_scal[:, 2]
@@ -488,7 +574,14 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # headroom (benign cross-batch race: plain int store)
     engine._spec_ncut = min(ncols, ncut + 128)
     kw = engine._key_words
-    if kw <= 2:
+    if hp.dtype == np.int32:
+        # wide 5-word i32 layout (large capacities / offsets)
+        h_key = hp[:, :, 0].astype(np.uint32)
+        h_tpos = hp[:, :, 1]
+        h_qpos = hp[:, :, 2]
+        h_f = hp[:, :, 3]
+        h_p = hp[:, :, 4]
+    elif kw <= 2:
         if kw == 1:
             comb = hp[:, :, 0].astype(np.uint16).astype(np.uint32)
         else:
@@ -512,9 +605,10 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             hp[:, :, 2].astype(np.uint16).astype(np.uint32)
             | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
         ).view(np.int32)
-    h_qpos = hp[:, :, kw].astype(np.int32)
-    h_f = hp[:, :, kw + 1].astype(np.int32)
-    h_p = hp[:, :, kw + 2].astype(np.int32)
+    if hp.dtype != np.int32:
+        h_qpos = hp[:, :, kw].astype(np.int32)
+        h_f = hp[:, :, kw + 1].astype(np.int32)
+        h_p = hp[:, :, kw + 2].astype(np.int32)
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
@@ -545,6 +639,10 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             h_f[i], h_p[i], int(h_evoff[i]),
         )
         st.last_regs[i] = regs
+        if px.shape[0] > st.p_cap and mo.max_anchor_cap > 0:
+            # grow the carried-anchor width: the reference carries EVERY
+            # chain anchor to the next chunk (rmap.cpp:111-116)
+            st.grow_prev(px.shape[0], int(mo.max_anchor_cap))
         npv = min(px.shape[0], st.p_cap)
         if px.shape[0] > st.p_cap:
             with engine._stats_lock:

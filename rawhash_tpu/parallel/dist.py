@@ -222,6 +222,7 @@ def _build_dist_step(mesh: Mesh, statics: tuple):
             chn_pen_gap=st["chn_pen_gap"], chn_pen_skip=st["chn_pen_skip"],
             all_vs_all=st["all_vs_all"], keep_events=st["keep_events"],
             key_words=st["key_words"], pos_bits=st["pos_bits"],
+            wide=st.get("wide", False),
         )
         return (
             out.packed, out.scalars, out.events,
