@@ -22,20 +22,29 @@ _TRIED = False
 
 
 def _build_lib():
-    src = os.path.join(_HERE, "chain_tail.cpp")
-    with open(src, "rb") as fp:
-        tag = hashlib.sha256(fp.read()).hexdigest()[:16]
+    srcs = [
+        os.path.join(_HERE, "chain_tail.cpp"),
+        os.path.join(_HERE, "index_build.cpp"),
+    ]
+    hasher = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as fp:
+            hasher.update(fp.read())
+    tag = hasher.hexdigest()[:16]
     cache = os.environ.get(
         "RAWHASH_TPU_NATIVE_CACHE",
         os.path.expanduser("~/.cache/rawhash_tpu_native"),
     )
     os.makedirs(cache, exist_ok=True)
-    lib_path = os.path.join(cache, f"chain_tail_{tag}.so")
+    lib_path = os.path.join(cache, f"native_{tag}.so")
     if not os.path.exists(lib_path):
         tmp = lib_path + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-march=native", src, "-o", tmp,
+            # strict float32: the quantizer must match numpy bit-for-bit,
+            # so no FMA contraction
+            "-march=native", "-ffp-contract=off",
+            *srcs, "-o", tmp, "-lpthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, lib_path)
@@ -51,6 +60,20 @@ def _build_lib():
         i64p, u64p, u64p, u64p, u64p,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.rh_sketch_seq.restype = ctypes.c_int64
+    lib.rh_sketch_seq.argtypes = [
+        u8p, ctypes.c_int64,
+        f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.c_void_p, u32p, u64p,
+    ]
+    lib.rh_sort_seeds.restype = None
+    lib.rh_sort_seeds.argtypes = [u32p, u64p, ctypes.c_int64, ctypes.c_int32]
     lib.rh_gen_regions.restype = ctypes.c_int32
     lib.rh_gen_regions.argtypes = [
         ctypes.c_uint32, ctypes.c_int32,
@@ -77,6 +100,57 @@ def get_lib():
             )
             _LIB = None
     return _LIB
+
+
+def sketch_seq_native(
+    seq: bytes, pore_vals: np.ndarray, k: int, strand: int, sid: int,
+    diff: float, w: int, e: int, q: int,
+    fine_min: float, fine_max: float, fine_range: float,
+    pos_offset: int = 0, want_sig: bool = False,
+):
+    """Native (sequence, strand) -> (hashes u32[N], y u64[N][, sig f32]).
+
+    Bit-identical to pore.seq_to_sig + sketch.host.sketch_events_np
+    (tested); returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    n = arr.shape[0]
+    m = max(n - k + 1, 0)
+    hashes = np.empty(max(m, 1), dtype=np.uint32)
+    ys = np.empty(max(m, 1), dtype=np.uint64)
+    sig = np.empty(max(m, 1), dtype=np.float32) if want_sig else None
+    if m == 0:
+        out = (hashes[:0], ys[:0])
+        return out + (sig[:0],) if want_sig else out
+    pv = np.ascontiguousarray(pore_vals, dtype=np.float32)
+    cnt = lib.rh_sketch_seq(
+        np.ascontiguousarray(arr), np.int64(n),
+        pv, np.int32(k), np.int32(strand), np.uint32(sid),
+        float(diff), np.int32(w), np.int32(e), np.int32(q),
+        float(fine_min), float(fine_max), float(fine_range),
+        np.int64(pos_offset),
+        sig.ctypes.data if want_sig else None, hashes, ys,
+    )
+    if want_sig:
+        return hashes[:cnt], ys[:cnt], sig[:m]
+    return hashes[:cnt], ys[:cnt]
+
+
+def sort_seeds_native(hashes: np.ndarray, ys: np.ndarray, n_threads: int = 0):
+    """In-place parallel sort of (hashes, ys) by (hash, y); returns False if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert hashes.flags["C_CONTIGUOUS"] and ys.flags["C_CONTIGUOUS"]
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.rh_sort_seeds(
+        hashes, ys, np.int64(hashes.shape[0]), np.int32(n_threads)
+    )
+    return True
 
 
 def chain_tail_native(f, p, ax, ay, min_cnt, min_sc, max_drop):

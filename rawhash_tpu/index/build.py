@@ -79,16 +79,31 @@ class RawIndex:
 def _finalize(seed_hashes, seed_ys, opts, seq_names, seq_lens, sig_target,
               pore, F=None, R=None) -> RawIndex:
     if seed_hashes:
-        hashes = np.concatenate(seed_hashes)
-        ys = np.concatenate(seed_ys)
+        hashes = np.ascontiguousarray(np.concatenate(seed_hashes))
+        ys = np.ascontiguousarray(np.concatenate(seed_ys))
     else:
         hashes = np.zeros(0, dtype=np.uint32)
         ys = np.zeros(0, dtype=np.uint64)
     # sort by (hash, y): y-ascending runs per key, like the reference's
-    # radix_sort_64 over each key's position list (rindex.c:350)
-    order = np.lexsort((ys, hashes))
-    hashes, ys = hashes[order], ys[order]
-    keys, starts = np.unique(hashes, return_index=True)
+    # radix_sort_64 over each key's position list (rindex.c:350).
+    # (hash, y) pairs are unique, so the native bucketed parallel sort and
+    # np.lexsort produce the identical order.
+    from .._native import sort_seeds_native
+
+    if hashes.shape[0] and sort_seeds_native(hashes, ys):
+        pass
+    else:
+        order = np.lexsort((ys, hashes))
+        hashes, ys = hashes[order], ys[order]
+    if hashes.shape[0]:
+        flags = np.empty(hashes.shape[0], dtype=bool)
+        flags[0] = True
+        np.not_equal(hashes[1:], hashes[:-1], out=flags[1:])
+        starts = np.nonzero(flags)[0]
+        keys = hashes[starts]
+    else:
+        keys = hashes
+        starts = np.zeros(0, dtype=np.int64)
     offsets = np.concatenate([starts, [hashes.shape[0]]]).astype(np.int64)
     return RawIndex(
         opts=opts,
@@ -111,30 +126,73 @@ def build_index_from_sequences(
 ) -> RawIndex:
     """Build from FASTA records [(name, sequence)] — both strands sketched
     unless NO_REV_TARGET (reference: worker_pipeline step 1, rindex.c:128-184)."""
-    seed_hashes, seed_ys = [], []
-    names, lens = [], []
+    from .._native import get_lib, sketch_seq_native
+
+    records = list(records)
     store = bool(opts.flag & IndexFlag.STORE_SIG)
     no_rev = bool(opts.flag & IndexFlag.NO_REV_TARGET)
+    names = [name for name, _ in records]
+    lens = [len(seq) for _, seq in records]
+    strands = (0, 1) if not no_rev else (0,)
+    tasks = [
+        (rid, strand)
+        for rid, (_, seq) in enumerate(records)
+        if len(seq) >= pore.k
+        for strand in strands
+    ]
+
+    import os as _os
+
+    if get_lib() is not None and not _os.environ.get(
+        "RAWHASH_TPU_NO_NATIVE_BUILD"
+    ):
+        # native fast path: per-(sequence, strand) single-pass sketch kernel
+        # running on a small thread pool (ctypes releases the GIL), the
+        # reference's 3-step threaded build pipeline (rindex.c:921)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(task):
+            rid, strand = task
+            seq = records[rid][1]
+            if isinstance(seq, str):
+                seq = seq.encode()
+            return sketch_seq_native(
+                seq, pore.pore_vals, pore.k, strand, rid,
+                opts.diff, opts.w, opts.e, opts.q,
+                opts.fine_min, opts.fine_max, opts.fine_range,
+                want_sig=store,
+            )
+
+        nw = max(1, min(_os.cpu_count() or 1, 8))
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            outs = list(pool.map(run, tasks))
+        by_task = dict(zip(tasks, outs))
+    else:
+        by_task = None
+
+    seed_hashes, seed_ys = [], []
     F = [] if store else None
     R = [] if (store and not no_rev) else None
-
     for rid, (name, seq) in enumerate(records):
-        names.append(name)
-        lens.append(len(seq))
         if len(seq) < pore.k:
             if store:
                 F.append(np.zeros(0, np.float32))
                 if R is not None:
                     R.append(np.zeros(0, np.float32))
             continue
-        for strand in (0, 1) if not no_rev else (0,):
-            sig = seq_to_sig(seq, pore, strand)
+        for strand in strands:
+            if by_task is not None:
+                out = by_task[(rid, strand)]
+                h, y = out[0], out[1]
+                sig = out[2] if store else None
+            else:
+                sig = seq_to_sig(seq, pore, strand)
+                h, y = sketch_events_np(
+                    sig, rid, strand, opts.diff, opts.w, opts.e, opts.q,
+                    opts.k, opts.fine_min, opts.fine_max, opts.fine_range,
+                )
             if store:
                 (F if strand == 0 else R).append(sig)
-            h, y = sketch_events_np(
-                sig, rid, strand, opts.diff, opts.w, opts.e, opts.q, opts.k,
-                opts.fine_min, opts.fine_max, opts.fine_range,
-            )
             seed_hashes.append(h)
             seed_ys.append(y)
     return _finalize(seed_hashes, seed_ys, opts, names, lens, False, pore, F, R)
