@@ -22,9 +22,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT32_MIN = -(2**31)
-NEG_INF = jnp.int32(INT32_MIN)
+NEG_INF = np.int32(INT32_MIN)  # numpy scalar: inlines as a literal (no const hoisting)
 
 
 def backtrack_batch(

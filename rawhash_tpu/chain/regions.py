@@ -178,6 +178,67 @@ def gen_regs(read_hash: int, n_u: int, u: np.ndarray, ax: np.ndarray, ay: np.nda
     return regs
 
 
+def gen_regs_from_summaries(read_hash: int, summ: np.ndarray, span: int):
+    """Regions from the device-tail's per-chain summaries (chain coordinates,
+    fuzzy lengths and counts were already aggregated on-device by
+    chain/backtrack_device.py).  Produces the identical Region list (same
+    hashed tiebreak sort) as gen_regs on the full anchor arrays
+    (reference: mm_gen_regs + mm_reg_set_coor + mm_cal_fuzzy_len,
+    hit.c:10-150).
+
+    summ: i32 [K, 10] rows (target-sorted chains):
+      score, cnt, key(u32 bits), tpos0, qpos0, tposL, qposL, mlen, blen,
+      valid."""
+    n_u = int(summ[:, 9].sum())
+    if n_u == 0:
+        return []
+    s = summ[:n_u]
+    key = s[:, 2].astype(np.uint32).astype(np.uint64)
+    rev = (key >> np.uint64(31)).astype(np.int64)
+    rid = (key & np.uint64(0x7FFFFFFF)).astype(np.int64)
+    ax0 = (
+        (rev.astype(np.uint64) << np.uint64(63))
+        | (rid.astype(np.uint64) << np.uint64(32))
+        | s[:, 3].astype(np.uint64)
+    )
+    ay0 = (np.uint64(span) << np.uint64(RI_ID_SHIFT)) | s[:, 4].astype(
+        np.uint64
+    )
+    h = hash64_vec(
+        (hash64_vec(ax0) + hash64_vec(ay0)) ^ np.uint64(read_hash & 0xFFFFFFFF)
+    ) & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        zx = (
+            (s[:, 0].astype(np.uint64) << np.uint64(32))
+            | s[:, 1].astype(np.uint64)
+        ) ^ h
+    cnts = s[:, 1].astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    order = np.argsort(zx, kind="stable")[::-1]
+    regs = []
+    for i, ci in enumerate(order):
+        regs.append(
+            Region(
+                id=i,
+                parent=PARENT_UNSET,
+                score=int(zx[ci] >> np.uint64(32)),
+                score0=int(zx[ci] >> np.uint64(32)),
+                hash=int(zx[ci] & np.uint64(0xFFFFFFFF)),
+                cnt=int(cnts[ci]),
+                as_=int(starts[ci]),
+                rev=int(rev[ci]),
+                rid=int(rid[ci]),
+                rs=int(s[ci, 3]),
+                re=int(s[ci, 5]) + 1,
+                qs=int(s[ci, 4]),
+                qe=int(s[ci, 6]) + 1,
+                mlen=int(s[ci, 7]),
+                blen=int(s[ci, 8]),
+            )
+        )
+    return regs
+
+
 def set_parent(regs, mask_level: float, mask_len: int, hard_mask_level: bool,
                alt_diff_frac: float) -> None:
     """Primary/secondary assignment by query-interval overlap

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(1e10)
+BIG = np.float32(1e10)  # numpy scalar: inlines as a literal (no const hoisting)
 
 
 @functools.partial(jax.jit, static_argnames=("max_radius", "max_len"))

@@ -27,7 +27,50 @@ from ..index.device import DeviceIndex, expand_hits, lookup_counts
 from ..signal.events import NormCarry, dense_compact, detect_events_batch
 from ..sketch.device import sketch_batch
 
-U32_MAX = jnp.uint32(0xFFFFFFFF)
+import numpy as np
+
+# numpy scalar, NOT a jnp array: module-level device-array constants get
+# hoisted into the jaxpr as constant *parameters*, and the jax 0.9.0 C++
+# jit fastpath fails to supply hoisted constants on repeat calls after a
+# signature change ("Executable expected parameter 0 of size 4")
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+class AotMemo:
+    """Own (signature -> dedicated jit object) memo around a jitted function.
+
+    Works around a jax 0.9.0 C++ jit-fastpath cache collision: after a
+    signature change on ONE jit object (e.g. the engine's capacity growth
+    recompiles with a wider carried-anchor buffer), the SECOND call of the
+    new signature retrieves the old signature's executable and dies with
+    "Executable expected parameter N of size ...".  Giving every
+    (shape, statics) signature its own jax.jit instance keeps each fastpath
+    cache single-entry, which is the collision-free case; compiles still hit
+    the persistent compilation cache."""
+
+    def __init__(self, jitfn):
+        self.raw = jitfn.__wrapped__
+        self.cache = {}
+        import threading
+
+        self._lock = threading.Lock()
+
+    def __call__(self, *args, **statics):
+        key = (
+            tuple(
+                (tuple(a.shape), str(a.dtype))
+                for a in jax.tree_util.tree_leaves(args)
+            ),
+            tuple(sorted(statics.items())),
+        )
+        with self._lock:
+            jf = self.cache.get(key)
+            if jf is None:
+                jf = jax.jit(
+                    functools.partial(self.raw, **statics), keep_unused=True
+                )
+                self.cache[key] = jf
+        return jf(*args)
 
 
 class ChunkOut(NamedTuple):
@@ -102,22 +145,20 @@ def rep_len_from_filtered(qpos_seed, flt, span):
     return jnp.sum(jnp.where(flt, contrib, 0), axis=1).astype(jnp.int32)
 
 
-def finish_chunk(
-    a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
-    rep_len, events, n_ev, processed, carry2, ev_offset2,
+def merge_sort_fill(
+    a_key, a_tpos, a_qpos, slot_valid, n_hits,
     prev_key, prev_tpos, prev_qpos, n_prev,
     q_rank, target_rank,
     *,
     span: int, max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
     chn_pen_gap: float, chn_pen_skip: float,
-    all_vs_all: bool, keep_events: bool,
-    key_words: int, pos_bits: int,
-    wide: bool = False,
+    all_vs_all: bool,
     fill=None,
-) -> "ChunkOut":
-    """Back half of the chunk step, shared by the single-device and sharded
-    paths: all-vs-all filter -> carried-anchor merge -> sort -> chain fill ->
-    i16 packing (reference: rmap.cpp:86-121 + mg_lchain_dp, lchain.c:385)."""
+):
+    """Shared middle of both chunk steps: all-vs-all filter -> carried-anchor
+    merge -> lexicographic sort -> chaining DP fill (reference:
+    rmap.cpp:86-121 + mg_lchain_dp, lchain.c:385).
+    Returns (s_key, s_tpos, s_qpos, n_anchors, f, p)."""
     b, a_cap = a_key.shape
     p_cap = prev_key.shape[1]
     keep = slot_valid
@@ -170,6 +211,35 @@ def finish_chunk(
         q_span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
         bw=bw, max_iter=max_iter,
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+    )
+    return s_key, s_tpos, s_qpos, n_anchors, f, p
+
+
+def finish_chunk(
+    a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+    rep_len, events, n_ev, processed, carry2, ev_offset2,
+    prev_key, prev_tpos, prev_qpos, n_prev,
+    q_rank, target_rank,
+    *,
+    span: int, max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    all_vs_all: bool, keep_events: bool,
+    key_words: int, pos_bits: int,
+    wide: bool = False,
+    fill=None,
+) -> "ChunkOut":
+    """Back half of the chunk step, shared by the single-device and sharded
+    paths: all-vs-all filter -> carried-anchor merge -> sort -> chain fill ->
+    i16 packing (reference: rmap.cpp:86-121 + mg_lchain_dp, lchain.c:385)."""
+    b = a_key.shape[0]
+    s_key, s_tpos, s_qpos, n_anchors, f, p = merge_sort_fill(
+        a_key, a_tpos, a_qpos, slot_valid, n_hits,
+        prev_key, prev_tpos, prev_qpos, n_prev,
+        q_rank, target_rank,
+        span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
+        bw=bw, max_iter=max_iter,
+        chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+        all_vs_all=all_vs_all, fill=fill,
     )
 
     n_total = s_key.shape[1]
@@ -340,3 +410,154 @@ def chunk_step(
         all_vs_all=all_vs_all, keep_events=keep_events,
         key_words=key_words, pos_bits=pos_bits, wide=wide,
     )
+
+
+class ChunkOutTail(NamedTuple):
+    """Device-tail chunk output: only per-chain summaries + per-read scalars
+    leave the device — O(chains) D2H instead of O(anchors).  Carried chain
+    anchors (the reference's *_a arrays, rmap.cpp:111-116) stay device-
+    resident and feed the next chunk's merge directly."""
+
+    # [B, K, 10] per chain (target-sorted): score, cnt, key(u32 bits),
+    # tpos0, qpos0, tposL, qposL, mlen, blen, valid
+    summaries: jnp.ndarray
+    # [B, 8]: 0 n_chains, 1 rep_len, 2 n_ev, 3 processed, 4 hit_overflow,
+    # 5 ev_offset, 6 chain_overflow, 7 prev_overflow
+    scalars: jnp.ndarray
+    # device-resident carried anchors for the next chunk
+    prev_key: jnp.ndarray  # u32 [B, P_out]
+    prev_tpos: jnp.ndarray  # i32 [B, P_out]
+    prev_qpos: jnp.ndarray  # i32 [B, P_out]
+    n_prev: jnp.ndarray  # i32 [B]
+    carry: NormCarry
+    ev_offset: jnp.ndarray  # i32 [B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "diff", "w", "e", "q", "k",
+        "fine_min", "fine_max", "fine_range",
+        "window_length1", "window_length2",
+        "threshold1", "threshold2", "peak_height",
+        "e_cap", "a_cap", "k_cap", "p_out",
+        "min_events", "mid_occ",
+        "max_dist_t", "max_dist_q", "bw", "max_iter",
+        "chn_pen_gap", "chn_pen_skip",
+        "min_cnt", "min_sc",
+        "all_vs_all",
+    ),
+)
+def chunk_step_tail(
+    didx: DeviceIndex,
+    sig: jnp.ndarray,  # f16/f32 [B, L]
+    carry: NormCarry,
+    ev_offset: jnp.ndarray,  # i32 [B]
+    prev_key: jnp.ndarray,  # u32 [B, P_in] device-resident carried anchors
+    prev_tpos: jnp.ndarray,  # i32 [B, P_in]
+    prev_qpos: jnp.ndarray,  # i32 [B, P_in]
+    n_prev: jnp.ndarray,  # i32 [B]
+    active: jnp.ndarray,  # i32 [B] 1 = read still mapping (keeps its carry)
+    slen: jnp.ndarray,  # i32 [B]
+    q_rank: jnp.ndarray,  # i32 [B]
+    target_rank: jnp.ndarray,  # i32 [n_seq]
+    *,
+    diff: float, w: int, e: int, q: int, k: int,
+    fine_min: float, fine_max: float, fine_range: float,
+    window_length1: int, window_length2: int,
+    threshold1: float, threshold2: float, peak_height: float,
+    e_cap: int, a_cap: int, k_cap: int, p_out: int,
+    min_events: int, mid_occ: int,
+    max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    min_cnt: int, min_sc: int,
+    all_vs_all: bool,
+) -> ChunkOutTail:
+    """The fused device-tail chunk step: everything chunk_step does PLUS the
+    chain backtrack/compaction on-device (reference: the whole per-chunk body
+    of ri_map_frag + mg_chain_backtrack + compact_a, rmap.cpp:210-387,
+    lchain.c:95-281).  The host receives per-chain summaries only."""
+    from ..chain.backtrack_device import backtrack_batch, compact_batch
+
+    span = k + e - 1
+    sig = sig.astype(jnp.float32)
+    n_prev = jnp.where(active != 0, n_prev, 0)
+
+    events, n_ev, carry2, processed, hashes, qpos_seed, seed_valid = (
+        events_and_sketch(
+            sig, slen, carry,
+            window_length1=window_length1, window_length2=window_length2,
+            threshold1=threshold1, threshold2=threshold2,
+            peak_height=peak_height, e_cap=e_cap, min_events=min_events,
+            diff=diff, w=w, e=e, q=q, k=k,
+            fine_min=fine_min, fine_max=fine_max, fine_range=fine_range,
+        )
+    )
+    ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
+
+    start, count = lookup_counts(didx, hashes, seed_valid)
+    flt = count > mid_occ
+    rep_len = rep_len_from_filtered(qpos_seed, flt, span)
+    count = jnp.where(flt, 0, count)
+
+    seed_c, hit_id, hit_ps, slot_valid, n_hits, overflow = expand_hits(
+        didx, start, count, a_cap
+    )
+    a_qpos = jnp.take_along_axis(qpos_seed, seed_c, axis=1) + ev_offset[:, None]
+    a_key = ((hit_ps & 1) << 31) | hit_id
+    a_tpos = ((hit_ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    s_key, s_tpos, s_qpos, n_anchors, f, p = merge_sort_fill(
+        a_key, a_tpos, a_qpos, slot_valid, n_hits,
+        prev_key, prev_tpos, prev_qpos, n_prev,
+        q_rank, target_rank,
+        span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
+        bw=bw, max_iter=max_iter,
+        chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+        all_vs_all=all_vs_all,
+    )
+
+    # --- on-device backtrack + compaction (lchain.c:95-281) ---
+    u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_batch(
+        f, p, n_anchors,
+        min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
+    )
+    asc, _, summaries = compact_batch(
+        u_sc, u_cnt, n_u, v, n_v, s_key, s_tpos, s_qpos, q_span=span
+    )
+
+    # carried anchors for the next chunk, device-resident (chain-major
+    # discovery order — the reference's *_a layout)
+    take = jnp.minimum(n_v, p_out)
+    pslots = jnp.arange(p_out, dtype=jnp.int32)
+    # p_out may exceed the live anchor width; slots past n_v are masked
+    sel = jnp.clip(
+        asc[:, jnp.clip(pslots, 0, asc.shape[1] - 1)], 0, s_key.shape[1] - 1
+    )
+    pvalid = pslots[None, :] < take[:, None]
+    pk = jnp.where(pvalid, jnp.take_along_axis(s_key, sel, axis=1), U32_MAX)
+    pt = jnp.where(
+        pvalid, jnp.take_along_axis(s_tpos, sel, axis=1), jnp.int32(0)
+    )
+    pq = jnp.where(
+        pvalid, jnp.take_along_axis(s_qpos, sel, axis=1), jnp.int32(0)
+    )
+    prev_ovf = jnp.maximum(n_v - p_out, 0)
+
+    scalars = jnp.stack(
+        [
+            n_u, rep_len, n_ev, processed.astype(jnp.int32),
+            overflow.astype(jnp.int32), ev_offset2, chain_ovf, prev_ovf,
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    return ChunkOutTail(
+        summaries=summaries, scalars=scalars,
+        prev_key=pk, prev_tpos=pt, prev_qpos=pq, n_prev=take,
+        carry=carry2, ev_offset=ev_offset2,
+    )
+
+
+# AOT-memoized entries used by the engine (see AotMemo docstring)
+chunk_step_aot = AotMemo(chunk_step)
+chunk_step_tail_aot = AotMemo(chunk_step_tail)

@@ -154,6 +154,20 @@ class MappingEngine:
         # from the previous chunk's live width; 0 = first chunk, exact fetch)
         self._spec_ncut = 0
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
+        # device-tail mode: backtrack + compaction run on-device and only
+        # per-chain summaries leave the device (O(chains) D2H instead of
+        # O(anchors)); carried anchors stay device-resident.  Host-tail
+        # remains for the modes that need per-anchor host data (RMQ
+        # re-chaining, --bw-long, DTW evaluation) and the sharded engine.
+        import os as _os
+
+        self.device_tail = (
+            self.dist is None
+            and not (mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
+            and not (mopt.flag & MapFlag.RMQ)
+            and mopt.bw_long <= mopt.bw
+            and not _os.environ.get("RAWHASH_TPU_NO_DEVICE_TAIL")
+        )
 
     # ---------- helpers ----------
 
@@ -393,6 +407,9 @@ class _BatchState:
         self.pending_slen = None
         self.pending_spec = None  # speculative packed-prefix (async D2H)
         self.pending_inputs = None  # (sig_dev, pack) kept for overflow retry
+        # device-tail state: carried anchors live on device between chunks
+        self.prev_dev = None  # (key u32, tpos i32, qpos i32, n_prev i32)
+        self.k_cap = 64  # per-read chain-summary capacity (grows on overflow)
         # wide i32 packing whenever anchor indices or event offsets can
         # exceed the int16 range (the narrow layout halves D2H bytes)
         self.wide = (self.a_cap + self.p_cap >= (1 << 15)) or (
@@ -453,10 +470,155 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
             sig_dev, st.carry, st.ev_offset, pack,
             st.q_rank_dev, engine._target_rank, **params,
         )
-    return chunk_step(
+    from .device_step import chunk_step_aot
+
+    return chunk_step_aot(
         engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
         jnp.asarray(pack), st.q_rank_dev, engine._target_rank, **params,
     )
+
+
+def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
+                        sig_dev, slen, active_arr):
+    """Invoke the device-tail chunk step (also the overflow-retry entry)."""
+    import jax.numpy as jnp
+
+    from .device_step import chunk_step_tail_aot as chunk_step_tail
+
+    mo = engine.mopt
+    io = engine.iopt
+    if st.prev_dev is None:
+        pk = jnp.full((st.b_dev, 8), 0xFFFFFFFF, dtype=jnp.uint32)
+        pt = jnp.zeros((st.b_dev, 8), jnp.int32)
+        pq = jnp.zeros((st.b_dev, 8), jnp.int32)
+        npv = jnp.zeros(st.b_dev, jnp.int32)
+    else:
+        pk, pt, pq, npv = st.prev_dev
+    return chunk_step_tail(
+        engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
+        pk, pt, pq, npv,
+        jnp.asarray(active_arr), jnp.asarray(slen.astype(np.int32)),
+        st.q_rank_dev, engine._target_rank,
+        diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
+        fine_min=io.fine_min, fine_max=io.fine_max,
+        fine_range=io.fine_range,
+        window_length1=mo.window_length1,
+        window_length2=mo.window_length2,
+        threshold1=mo.threshold1, threshold2=mo.threshold2,
+        peak_height=mo.peak_height,
+        e_cap=st.e_cap, a_cap=st.a_cap, k_cap=st.k_cap, p_out=st.p_cap,
+        min_events=mo.min_events, mid_occ=int(mo.mid_occ),
+        max_dist_t=mo.max_target_gap_length,
+        max_dist_q=mo.max_query_gap_length,
+        bw=mo.bw, max_iter=mo.max_chain_iter,
+        chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
+        min_cnt=mo.min_num_anchors, min_sc=mo.min_chaining_score,
+        all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+    )
+
+
+def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
+    """Host side of a device-tail chunk: fetch per-chain summaries, build
+    regions, assign MAPQ, decide (reference: rmap.cpp:415-500 — but the
+    backtrack/compaction already happened on-device)."""
+    from ..chain.regions import gen_regs_from_summaries
+
+    mo = engine.mopt
+    out = st.pending
+    slen = st.pending_slen
+    sig_dev, slen_arr, active_arr = st.pending_inputs
+    st.pending = st.pending_slen = st.pending_inputs = None
+    t_wait = time.perf_counter()
+    h_scal = np.asarray(out.scalars)[: st.b]
+    # zero-truncation retry: grow whichever capacity overflowed (hit slots,
+    # chain summaries, carried anchors) and re-run with the SAME inputs —
+    # carry/prev are committed only after the retry, so the rerun is exact
+    cap_ceil = int(mo.max_anchor_cap)
+    while cap_ceil > 0:
+        need_a = int(h_scal[:, 4].max()) if h_scal.size else 0
+        need_k = int(h_scal[:, 6].max()) if h_scal.size else 0
+        need_p = int(h_scal[:, 7].max()) if h_scal.size else 0
+        grew = False
+        if need_a > 0 and st.a_cap < cap_ceil:
+            new_cap = 1 << int(np.ceil(np.log2(st.a_cap + need_a)))
+            st.a_cap = min(max(new_cap, 2 * st.a_cap), cap_ceil)
+            grew = True
+        if need_k > 0 and st.k_cap < cap_ceil:
+            new_k = 1 << int(np.ceil(np.log2(st.k_cap + need_k)))
+            st.k_cap = min(max(new_k, 2 * st.k_cap), cap_ceil)
+            grew = True
+        if need_p > 0 and st.p_cap < cap_ceil:
+            new_p = 1 << int(np.ceil(np.log2(st.p_cap + need_p)))
+            st.p_cap = min(max(new_p, 2 * st.p_cap), cap_ceil)
+            grew = True
+        if not grew:
+            break
+        with engine._stats_lock:
+            engine.stats["anchor_regrows"] = (
+                engine.stats.get("anchor_regrows", 0) + 1
+            )
+        out = _dispatch_step_tail(engine, st, sig_dev, slen_arr, active_arr)
+        h_scal = np.asarray(out.scalars)[: st.b]
+    st.carry = out.carry
+    st.ev_offset = out.ev_offset
+    st.prev_dev = (out.prev_key, out.prev_tpos, out.prev_qpos, out.n_prev)
+
+    h_nu = h_scal[:, 0]
+    h_rep = h_scal[:, 1]
+    h_proc = h_scal[:, 3] != 0
+    h_evoff = h_scal[:, 5]
+    with engine._stats_lock:
+        engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
+        engine.stats["prev_overflow"] += int(h_scal[st.active, 7].sum())
+        engine.stats["chain_overflow"] = engine.stats.get(
+            "chain_overflow", 0
+        ) + int(h_scal[st.active, 6].sum())
+    kcols = out.summaries.shape[1]
+    numax = int(h_nu.max()) if h_nu.size else 0
+    kcut = min(kcols, max(8, numax))
+    hs = np.asarray(out.summaries[:, :kcut, :])[: st.b]
+    with engine._stats_lock:
+        engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
+
+    c = st.chunk_idx
+    now = time.perf_counter()
+    t_host = now
+    all_chains = bool(mo.flag & MapFlag.ALL_CHAINS)
+    for i in range(st.b):
+        if not st.active[i]:
+            continue
+        if slen[i] == 0:
+            st.active[i] = False
+            continue
+        st.c_counts[i] = c
+        if not h_proc[i]:
+            st.last_regs[i] = []
+            continue
+        st.ev_totals[i] = int(h_evoff[i])
+        # read hash (reference: rmap.cpp:346-348)
+        h = 0
+        h ^= (wang_hash32(int(h_evoff[i])) + wang_hash32(11)) & 0xFFFFFFFF
+        h = wang_hash32(h)
+        regs = gen_regs_from_summaries(h, hs[i], engine.span)
+        set_parent(
+            regs, mo.mask_level, mo.mask_len,
+            bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
+        )
+        if not all_chains:
+            regs = select_sub(
+                regs, mo.pri_ratio, mo.best_n, True,
+                int(mo.max_target_gap_length * 0.8),
+            )
+        st.last_regs[i] = regs
+        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), False)
+        ids, done = engine._decide(regs, False)
+        if done:
+            st.map_ids[i] = ids
+            st.t_decided[i] = now
+            st.active[i] = False
+    with engine._stats_lock:
+        engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
+    st.chunk_idx += 1
 
 
 def _submit_chunk(engine: MappingEngine, st: _BatchState):
@@ -481,6 +643,20 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         slen[i] = seg.shape[0]
     t_sub = time.perf_counter()
     sig_dev = chunk.astype(engine.signal_dtype)
+    if engine.device_tail:
+        active_arr = np.zeros(st.b_dev, dtype=np.int32)
+        active_arr[: st.b] = st.active
+        out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
+        engine.profiler.add("submit", time.perf_counter() - t_sub)
+        try:
+            out.scalars.copy_to_host_async()
+            out.summaries.copy_to_host_async()
+        except Exception:
+            pass
+        st.pending = out
+        st.pending_slen = slen
+        st.pending_inputs = (sig_dev, slen, active_arr)
+        return
     # single packed i32 upload: carried anchors + n_prev + slen (each
     # separate H2D pays a tunnel round trip)
     p_cap = st.p_cap
@@ -518,6 +694,8 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
 def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     """Host tail of an in-flight chunk: backtrack, regions, MAPQ, decisions
     (reference: rmap.cpp:415-500)."""
+    if engine.device_tail:
+        return _process_chunk_tail(engine, st)
     mo = engine.mopt
     is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
     out = st.pending

@@ -27,9 +27,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-FLT_MIN = jnp.float32(1.1754943508222875e-38)
-FLT_MAX = jnp.float32(3.4028234663852886e38)
+FLT_MIN = np.float32(1.1754943508222875e-38)  # numpy scalars: inline as
+FLT_MAX = np.float32(3.4028234663852886e38)  # literals (no const hoisting)
 BIG_I32 = jnp.int32(0x7FFFFFFF)
 
 

@@ -1,0 +1,104 @@
+"""Device-tail engine == host-tail engine, record for record.
+
+The device-tail path (chunk_step_tail) runs backtrack + compaction on-device
+and ships only per-chain summaries; the host-tail path D2Hs every anchor and
+backtracks in native C++.  Both must produce identical mappings
+(reference semantics: rmap.cpp:389-599 + lchain.c:95-281 + hit.c:100-367).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rawhash_tpu.config import IndexOptions, MapFlag, MapOptions
+from rawhash_tpu.index.build import (
+    build_index_from_sequences,
+    build_index_from_signals,
+)
+from rawhash_tpu.io.signal_gen import simulate_reads
+from rawhash_tpu.map.engine import MappingEngine
+from rawhash_tpu.pore import synthetic_pore
+
+
+def _key(res):
+    return [
+        (r.name, [(m.mapped, m.ref_id, m.read_start, m.read_end,
+                   m.frag_start, m.frag_len, m.rev, m.mapq)
+                  for m in r.records])
+        for r in res
+    ]
+
+
+def _both(index, mo_factory, batch):
+    eng = MappingEngine(index, mo_factory())
+    assert eng.device_tail
+    dev = eng.map_batch(batch)
+    os.environ["RAWHASH_TPU_NO_DEVICE_TAIL"] = "1"
+    try:
+        eng2 = MappingEngine(index, mo_factory())
+        assert not eng2.device_tail
+        host = eng2.map_batch(batch)
+    finally:
+        del os.environ["RAWHASH_TPU_NO_DEVICE_TAIL"]
+    return dev, host, eng
+
+
+def test_device_tail_matches_host_tail_multichunk():
+    """Adaptive multi-chunk workload incl. low-quality reads that never
+    decide (exercises carried anchors across many chunks) + junk reads."""
+    rng = np.random.default_rng(40)
+    pore = synthetic_pore(k=6)
+    genome = "".join(rng.choice(list("ACGT"), size=20000))
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=10, read_len=2500, rng=rng)
+    batch = [(n, s) for n, s, _, _ in reads]
+    # junk reads: pure noise (never maps), and a very short one
+    batch.append(("junk", rng.normal(90, 10, size=5000).astype(np.float32)))
+    batch.append(("short", rng.normal(90, 10, size=50).astype(np.float32)))
+
+    def mo():
+        m = MapOptions()
+        m.chunk_size = 1000  # force several chunks per read
+        m.max_num_chunk = 8
+        return m
+
+    dev, host, eng = _both(index, mo, batch)
+    assert _key(dev) == _key(host)
+    assert any(m.mapped for r in dev for m in r.records)
+
+
+def test_device_tail_matches_host_tail_ava():
+    """All-vs-all (Rawsamble) flow: sig-target index + ALL_CHAINS."""
+    rng = np.random.default_rng(41)
+    pore = synthetic_pore(k=6)
+    genome = "".join(rng.choice(list("ACGT"), size=12000))
+    reads = simulate_reads(genome, pore, n_reads=8, read_len=1500, rng=rng)
+    batch = [(n, s) for n, s, _, _ in reads]
+    iopt = IndexOptions()
+    index = build_index_from_signals(batch, pore, iopt)
+
+    def mo():
+        m = MapOptions()
+        m.flag |= MapFlag.ALL_CHAINS
+        m.min_mapq = 0
+        return m
+
+    dev, host, _ = _both(index, mo, batch)
+    assert _key(dev) == _key(host)
+
+
+def test_device_tail_disabled_for_special_modes():
+    rng = np.random.default_rng(42)
+    pore = synthetic_pore(k=6)
+    genome = "".join(rng.choice(list("ACGT"), size=6000))
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    for tweak in (
+        lambda m: setattr(m, "flag", m.flag | MapFlag.RMQ),
+        lambda m: setattr(m, "flag", m.flag | MapFlag.DTW_EVALUATE_CHAINS),
+        lambda m: setattr(m, "bw_long", m.bw * 3),
+    ):
+        m = MapOptions()
+        tweak(m)
+        eng = MappingEngine(index, m)
+        assert not eng.device_tail
