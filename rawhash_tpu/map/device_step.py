@@ -518,10 +518,26 @@ def chunk_step_tail(
     )
 
     # --- on-device backtrack + compaction (lchain.c:95-281) ---
-    u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_batch(
-        f, p, n_anchors,
-        min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
-    )
+    # On TPU the scalar walks run as a Pallas kernel with all state in SMEM
+    # (~30x the lockstep lax.while_loop, bit-identical); SMEM capacity
+    # bounds the anchor width, so extreme grown capacities fall back.
+    n_total = f.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("RAWHASH_TPU_NO_PALLAS")
+        and n_total <= 32768
+    ):
+        from ..chain.backtrack_pallas import backtrack_pallas
+
+        u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_pallas(
+            f, p, n_anchors,
+            min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
+        )
+    else:
+        u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_batch(
+            f, p, n_anchors,
+            min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
+        )
     asc, _, summaries = compact_batch(
         u_sc, u_cnt, n_u, v, n_v, s_key, s_tpos, s_qpos, q_span=span
     )
