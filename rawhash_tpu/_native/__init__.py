@@ -74,6 +74,13 @@ def _build_lib():
     ]
     lib.rh_sort_seeds.restype = None
     lib.rh_sort_seeds.argtypes = [u32p, u64p, ctypes.c_int64, ctypes.c_int32]
+    lib.rh_rmq_fill.restype = None
+    lib.rh_rmq_fill.argtypes = [
+        u64p, u64p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        i32p, i32p,
+    ]
     lib.rh_gen_regions.restype = ctypes.c_int32
     lib.rh_gen_regions.argtypes = [
         ctypes.c_uint32, ctypes.c_int32,
@@ -178,6 +185,29 @@ def chain_tail_native(f, p, ax, ay, min_cnt, min_sc, max_drop):
     nv = int(n_v.value)
     u = u_out[: 2 * n_u].reshape(n_u, 2)
     return u, bx[:nv], by[:nv], px[:nv], py[:nv]
+
+
+def rmq_fill_native(
+    ax, ay, max_dist, max_dist_inner, bw, max_skip, cap_rmq_size,
+    chn_pen_gap, chn_pen_skip,
+):
+    """Native RMQ chaining score fill; returns (f int32, p int32) like
+    chain.rmq.lchain_rmq_fill_np, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(ax.shape[0])
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    ay = np.ascontiguousarray(ay, dtype=np.uint64)
+    f = np.zeros(max(n, 1), dtype=np.int32)
+    p = np.full(max(n, 1), -1, dtype=np.int32)
+    lib.rh_rmq_fill(
+        ax, ay, np.int32(n),
+        np.int64(max_dist), np.int64(max_dist_inner), np.int64(bw),
+        np.int64(max_skip), np.int64(cap_rmq_size),
+        float(chn_pen_gap), float(chn_pen_skip), f, p,
+    )
+    return f[:n], p[:n]
 
 
 def gen_regions_native(

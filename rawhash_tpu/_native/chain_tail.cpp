@@ -119,6 +119,185 @@ int32_t rh_chain_tail(
 }
 
 // ---------------------------------------------------------------------------
+// RMQ chaining score fill (the reference's faster/looser chainer used by
+// --rmq and the bw-long re-chain pass; reference: mg_lchain_rmq,
+// lchain.c:606-738).  Exact mirror of chain/rmq.py::lchain_rmq_fill_np —
+// the active set is kept as a (y_low, idx)-sorted vector with linear
+// max-priority scans over the y-window, which is decision-for-decision
+// equivalent to the reference's augmented AVL tree (same candidate wins,
+// same inner-window refinement with skip/t[] pruning).  Tests assert
+// (f, p) equality against the python oracle.
+
+static inline float rh_mg_log2(float x) {
+    // fast approximate log2 (reference: lchain.c:23-31); float32 throughout
+    uint32_t z;
+    std::memcpy(&z, &x, 4);
+    float log_2 = (float)((int32_t)((z >> 23) & 255u) - 128);
+    z = (z & ~(255u << 23)) + (127u << 23);
+    float zf;
+    std::memcpy(&zf, &z, 4);
+    log_2 += (-0.34484843f * zf + 2.02466578f) * zf - 0.67487759f;
+    return log_2;
+}
+
+static inline int64_t rh_i32lo(uint64_t v) {
+    return (int64_t)(int32_t)(uint32_t)(v & 0xFFFFFFFFULL);
+}
+
+// comput_sc_simple (reference: lchain.c:557-580); float32 penalty arithmetic
+// so scores match the numpy oracle bit-for-bit
+static inline int64_t rh_sc_simple(
+    uint64_t xi, uint64_t yi, uint64_t xj, uint64_t yj,
+    float chn_pen_gap, float chn_pen_skip, bool* exact, int64_t* width)
+{
+    int64_t dq = rh_i32lo(yi) - rh_i32lo(yj);
+    int64_t dr = (int64_t)(int32_t)(uint32_t)(xi - xj);
+    int64_t dd = dr > dq ? dr - dq : dq - dr;
+    int64_t dg = dr < dq ? dr : dq;
+    int64_t q_span = (int64_t)((yj >> 32) & 0x3FULL);
+    int64_t sc = q_span < dg ? q_span : dg;
+    *exact = (dd == 0 && dg <= q_span);
+    if (dd || dq > q_span) {
+        float lin_pen = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+        float log_pen = dd >= 1 ? rh_mg_log2((float)(dd + 1)) : 0.0f;
+        sc -= (int64_t)(lin_pen + 0.5f * log_pen);
+    }
+    *width = dd;
+    return sc;
+}
+
+extern "C" void rh_rmq_fill(
+    const uint64_t* ax, const uint64_t* ay, int32_t n,
+    int64_t max_dist, int64_t max_dist_inner, int64_t bw, int64_t max_skip,
+    int64_t cap_rmq_size, double chn_pen_gap, double chn_pen_skip,
+    int32_t* f, int32_t* p)
+{
+    if (n <= 0) return;
+    if (max_dist < bw) max_dist = bw;
+    if (max_dist_inner <= 0 || max_dist_inner >= max_dist) max_dist_inner = 0;
+    const float pg = (float)chn_pen_gap, ps = (float)chn_pen_skip;
+
+    // (y_low, idx)-sorted active sets; membership flags mirror the python port
+    std::vector<std::pair<int64_t, int32_t>> act, inner;
+    std::vector<uint8_t> in_main(n, 0), in_inner(n, 0);
+    std::vector<int32_t> t(n, -1);
+    int32_t st = 0, st_inner = 0, i0 = 0;
+
+    for (int32_t i = 0; i < n; ++i) {
+        int32_t max_j = -1;
+        int64_t q_span = (int64_t)((ay[i] >> 32) & 0x3FULL);
+        int64_t max_f = q_span;
+        // delayed insert of anchors with smaller x (lchain.c:653-666)
+        if (i0 < i && ax[i0] != ax[i]) {
+            for (int32_t j = i0; j < i; ++j) {
+                int64_t yl = rh_i32lo(ay[j]);
+                auto pos = std::lower_bound(
+                    act.begin(), act.end(), std::make_pair(yl, j));
+                act.insert(pos, {yl, j});
+                in_main[j] = 1;
+                if (max_dist_inner > 0) {
+                    auto pos2 = std::lower_bound(
+                        inner.begin(), inner.end(), std::make_pair(yl, j));
+                    inner.insert(pos2, {yl, j});
+                    in_inner[j] = 1;
+                }
+            }
+            i0 = i;
+        }
+        // evict out-of-range (lchain.c:668-687)
+        while (st < i && ((ax[i] >> 32) != (ax[st] >> 32)
+                          || ax[i] - ax[st] > (uint64_t)max_dist
+                          || (int64_t)act.size() > cap_rmq_size)) {
+            if (in_main[st]) {
+                auto pos = std::lower_bound(
+                    act.begin(), act.end(),
+                    std::make_pair(rh_i32lo(ay[st]), st));
+                if (pos != act.end() && pos->second == st) act.erase(pos);
+                in_main[st] = 0;
+            }
+            ++st;
+        }
+        if (max_dist_inner > 0) {
+            while (st_inner < i && ((ax[i] >> 32) != (ax[st_inner] >> 32)
+                                    || ax[i] - ax[st_inner] > (uint64_t)max_dist_inner
+                                    || (int64_t)inner.size() > cap_rmq_size)) {
+                if (in_inner[st_inner]) {
+                    auto pos = std::lower_bound(
+                        inner.begin(), inner.end(),
+                        std::make_pair(rh_i32lo(ay[st_inner]), st_inner));
+                    if (pos != inner.end() && pos->second == st_inner)
+                        inner.erase(pos);
+                    in_inner[st_inner] = 0;
+                }
+                ++st_inner;
+            }
+        }
+        // RMQ: max priority within the y-range (lchain.c:689-696); linear
+        // scan in ascending (y, idx) order so ties pick the same candidate
+        // as the python oracle (first max wins)
+        const int64_t hi_y = rh_i32lo(ay[i]);
+        const int64_t lo_y = hi_y - max_dist;
+        auto lo = std::lower_bound(
+            act.begin(), act.end(),
+            std::make_pair(lo_y, (int32_t)INT32_MIN));
+        auto hi = std::upper_bound(
+            act.begin(), act.end(),
+            std::make_pair(hi_y, (int32_t)INT32_MAX));
+        if (lo < hi) {
+            int32_t best = -1;
+            double best_pri = 0.0;
+            bool have = false;
+            for (auto it = lo; it != hi; ++it) {
+                int32_t j = it->second;
+                double pri = (double)f[j] + 0.5 * chn_pen_gap *
+                             (double)(rh_i32lo(ax[j]) + rh_i32lo(ay[j]));
+                if (!have || pri > best_pri) {
+                    have = true;
+                    best_pri = pri;
+                    best = j;
+                }
+            }
+            int32_t j = best;
+            bool exact;
+            int64_t width;
+            int64_t sc = rh_sc_simple(ax[i], ay[i], ax[j], ay[j], pg, ps,
+                                      &exact, &width);
+            sc += (int64_t)f[j];
+            if (width <= bw && sc > max_f) { max_f = sc; max_j = j; }
+            // inner refinement (lchain.c:697-724)
+            if (!exact && max_dist_inner > 0 && hi_y > 0) {
+                int64_t n_skip = 0;
+                auto hi2 = std::upper_bound(
+                    inner.begin(), inner.end(),
+                    std::make_pair(hi_y - 1, (int32_t)INT32_MAX));
+                for (auto it = hi2; it != inner.begin();) {
+                    --it;
+                    if (it->first < hi_y - max_dist_inner) break;
+                    int32_t j2 = it->second;
+                    bool ex2;
+                    int64_t w2;
+                    int64_t sc2 = rh_sc_simple(ax[i], ay[i], ax[j2], ay[j2],
+                                               pg, ps, &ex2, &w2);
+                    sc2 += (int64_t)f[j2];
+                    if (w2 <= bw) {
+                        if (sc2 > max_f) {
+                            max_f = sc2;
+                            max_j = j2;
+                            if (n_skip > 0) --n_skip;
+                        } else if (t[j2] == i) {
+                            if (++n_skip > max_skip) break;
+                        }
+                        if (p[j2] >= 0) t[p[j2]] = i;
+                    }
+                }
+            }
+        }
+        f[i] = (int32_t)max_f;
+        p[i] = max_j;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Region pipeline: chains -> regions -> primary/secondary -> pruning.
 // Semantics match chain/regions.py::gen_regs + set_parent + select_sub +
 // _sync_regs exactly (reference: mm_gen_regs/mm_set_parent/mm_select_sub/

@@ -192,10 +192,29 @@ def lchain_rmq_np(
     min_cnt, min_sc, chn_pen_gap, chn_pen_skip,
 ):
     """Full RMQ chaining = fill + backtrack + compaction
-    (reference: mg_lchain_rmq, lchain.c:606-756)."""
+    (reference: mg_lchain_rmq, lchain.c:606-756).
+
+    The fill and tail run natively (C++, _native/chain_tail.cpp) when the
+    toolchain is available — bit-identical to this module's numpy oracle
+    (tested) — so `--rmq` / `--bw-long` configs are not Python-rate."""
+    import os
+
     if ax.shape[0] == 0:
         e = np.zeros(0, dtype=np.uint64)
         return np.zeros((0, 2), dtype=np.int64), e, e.copy(), e.copy(), e.copy()
+    if not os.environ.get("RAWHASH_TPU_NO_NATIVE_RMQ"):
+        from .._native import chain_tail_native, rmq_fill_native
+
+        filled = rmq_fill_native(
+            ax, ay, max_dist, max_dist_inner, bw, max_skip, cap_rmq_size,
+            chn_pen_gap, chn_pen_skip,
+        )
+        if filled is not None:
+            tail = chain_tail_native(
+                filled[0], filled[1], ax, ay, min_cnt, min_sc, bw
+            )
+            if tail is not None:
+                return tail
     f, p = lchain_rmq_fill_np(
         ax, ay, max_dist, max_dist_inner, bw, max_skip, cap_rmq_size,
         chn_pen_gap, chn_pen_skip,
