@@ -18,18 +18,50 @@ import time
 from ..config import IndexFlag, MapFlag
 
 
-def _batched_reads(paths, batch_size: int, mini_batch_bytes: int):
+def _read_all(path):
+    from ..io.sigfile import read_signals
+
+    return list(read_signals(path))
+
+
+def parallel_file_reads(files, n_threads: int):
+    """Decode signal containers with a worker pool (the reference decodes
+    under opt->n_io_threads; rsig.c:192-194, main.cpp:414).  Up to
+    2*n_threads files are in flight; results are yielded strictly in file
+    order so the stream is identical to a 1-thread run."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        inflight = collections.deque()
+        it = iter(files)
+        for f in it:
+            inflight.append(ex.submit(_read_all, f))
+            if len(inflight) >= 2 * n_threads:
+                break
+        while inflight:
+            yield from inflight.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                inflight.append(ex.submit(_read_all, nxt))
+
+
+def _batched_reads(paths, batch_size: int, mini_batch_bytes: int,
+                   n_io_threads: int = 1):
     """Yield lists of (name, signal) with at most batch_size reads."""
     from ..io.sigfile import find_signal_files, read_signals
 
+    files = [f for path in paths for f in find_signal_files(path)]
+    if n_io_threads > 1 and len(files) > 1:
+        reads_iter = parallel_file_reads(files, n_io_threads)
+    else:
+        reads_iter = (r for f in files for r in read_signals(f))
     batch = []
-    for path in paths:
-        for f in find_signal_files(path):
-            for name, sig in read_signals(f):
-                batch.append((name, sig))
-                if len(batch) >= batch_size:
-                    yield batch
-                    batch = []
+    for name, sig in reads_iter:
+        batch.append((name, sig))
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
     if batch:
         yield batch
 
@@ -72,11 +104,14 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
         log(f"loaded index: {index.n_seq} target(s), {index.n_seeds} seeds")
     else:
         if iopt.flag & IndexFlag.SIG_TARGET:
-            from ..io.sigfile import find_signal_files, read_signals
+            from ..io.sigfile import find_signal_files
 
-            reads = []
-            for f in find_signal_files(args.target):
-                reads.extend(read_signals(f))
+            files = find_signal_files(args.target)
+            n_io = getattr(args, "io_thread", 1) or 1
+            if n_io > 1 and len(files) > 1:
+                reads = list(parallel_file_reads(files, n_io))
+            else:
+                reads = [r for f in files for r in _read_all(f)]
             pore = None
             if args.pore_file:
                 pore = load_pore(args.pore_file, iopt.k, iopt.lev_col)
@@ -116,7 +151,8 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
         )
 
     batch_size = mopt.batch_reads
-    gen = _batched_reads(args.query, batch_size, mopt.mini_batch_size)
+    gen = _batched_reads(args.query, batch_size, mopt.mini_batch_size,
+                         getattr(args, "io_thread", 1) or 1)
     q: queue.Queue = queue.Queue(maxsize=2)
     stop = threading.Event()
     th = threading.Thread(target=_prefetch, args=(gen, q, stop), daemon=True)
