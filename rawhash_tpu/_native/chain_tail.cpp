@@ -123,10 +123,15 @@ int32_t rh_chain_tail(
 // --rmq and the bw-long re-chain pass; reference: mg_lchain_rmq,
 // lchain.c:606-738).  Exact mirror of chain/rmq.py::lchain_rmq_fill_np —
 // the active set is kept as a (y_low, idx)-sorted vector with linear
-// max-priority scans over the y-window, which is decision-for-decision
-// equivalent to the reference's augmented AVL tree (same candidate wins,
-// same inner-window refinement with skip/t[] pruning).  Tests assert
-// (f, p) equality against the python oracle.
+// max-priority scans over the y-window (same inner-window refinement with
+// skip/t[] pruning); tests assert bit-for-bit (f, p) equality against that
+// numpy oracle.  Known boundary deviation from the reference's krmq window:
+// krmq_rmq's closed-interval query (lo.i = INT32_MAX, hi.i = 0) excludes
+// anchors whose y equals the query anchor's y and the far y-boundary
+// (y == y_i - max_dist), while this scan's inclusive [lo_y, hi_y] admits
+// both, so the winning candidate can differ on co-located anchors.  The
+// divergence is documented in PARITY.md and bounded by the reference-binary
+// parity tests (tests/test_ref_parity.py --rmq: 100% location agreement).
 
 static inline float rh_mg_log2(float x) {
     // fast approximate log2 (reference: lchain.c:23-31); float32 throughout

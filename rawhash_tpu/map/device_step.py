@@ -65,11 +65,27 @@ class AotMemo:
         )
         with self._lock:
             jf = self.cache.get(key)
-            if jf is None:
+            new = jf is None
+            if new:
                 jf = jax.jit(
                     functools.partial(self.raw, **statics), keep_unused=True
                 )
                 self.cache[key] = jf
+        if new and os.environ.get("RAWHASH_TPU_LOG_COMPILES"):
+            import sys
+            import time as _time
+
+            t0 = _time.perf_counter()
+            out = jf(*args)
+            jax.block_until_ready(out)
+            shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(args)]
+            print(
+                f"[rawhash-tpu compile] {self.raw.__name__} sig#{len(self.cache)}"
+                f" {_time.perf_counter() - t0:.1f}s shapes={shapes}"
+                f" statics={dict(sorted(statics.items()))}",
+                file=sys.stderr,
+            )
+            return out
         return jf(*args)
 
 

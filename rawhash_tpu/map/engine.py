@@ -154,10 +154,13 @@ class MappingEngine:
         # from the previous chunk's live width; 0 = first chunk, exact fetch)
         self._spec_ncut = 0
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
-        # device-tail mode: backtrack + compaction run on-device and only
-        # per-chain summaries leave the device (O(chains) D2H instead of
-        # O(anchors)); carried anchors stay device-resident.  Host-tail
-        # remains for the modes that need per-anchor host data (RMQ
+        # device-tail mode (opt-in): backtrack + compaction run on-device and
+        # only per-chain summaries leave the device (O(chains) D2H instead of
+        # O(anchors)); carried anchors stay device-resident.  Measured 4.8x
+        # SLOWER end-to-end than the host tail on the viral bench (128k vs
+        # 609k bp/s, BENCH_r02) despite moving fewer bytes, so the host tail
+        # is the default; set RAWHASH_TPU_DEVICE_TAIL=1 to opt in.  Host-tail
+        # is also required for the modes that need per-anchor host data (RMQ
         # re-chaining, --bw-long, DTW evaluation) and the sharded engine.
         import os as _os
 
@@ -166,6 +169,7 @@ class MappingEngine:
             and not (mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
             and not (mopt.flag & MapFlag.RMQ)
             and mopt.bw_long <= mopt.bw
+            and bool(_os.environ.get("RAWHASH_TPU_DEVICE_TAIL"))
             and not _os.environ.get("RAWHASH_TPU_NO_DEVICE_TAIL")
         )
 
@@ -465,6 +469,15 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
         key_words=engine._key_words, pos_bits=engine._pos_bits,
         wide=st.wide,
     )
+    # chaining-DP work accounting for the bench's cell-updates/s metric:
+    # the fill kernel evaluates max_iter predecessor window scores for each
+    # of the (a_cap + p_cap) anchor slots of every batch row (the padded
+    # compute the device actually executes; reference hot loop:
+    # lchain.c:439-505)
+    with engine._stats_lock:
+        engine.stats["dp_cells"] = engine.stats.get("dp_cells", 0) + (
+            st.b_dev * (st.a_cap + st.p_cap) * mo.max_chain_iter
+        )
     if engine.dist is not None:
         return engine.dist.step(
             sig_dev, st.carry, st.ev_offset, pack,
@@ -487,6 +500,10 @@ def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
 
     mo = engine.mopt
     io = engine.iopt
+    with engine._stats_lock:
+        engine.stats["dp_cells"] = engine.stats.get("dp_cells", 0) + (
+            st.b_dev * (st.a_cap + st.p_cap) * mo.max_chain_iter
+        )
     if st.prev_dev is None:
         pk = jnp.full((st.b_dev, 8), 0xFFFFFFFF, dtype=jnp.uint32)
         pt = jnp.zeros((st.b_dev, 8), jnp.int32)

@@ -28,7 +28,15 @@ def parallel_file_reads(files, n_threads: int):
     """Decode signal containers with a worker pool (the reference decodes
     under opt->n_io_threads; rsig.c:192-194, main.cpp:414).  Up to
     2*n_threads files are in flight; results are yielded strictly in file
-    order so the stream is identical to a 1-thread run."""
+    order so the stream is identical to a 1-thread run.
+
+    Memory trade-off: each in-flight file is fully decoded into memory, so
+    --io-thread changes residency from O(one batch) to O(2*n_threads x file
+    size).  That suits the reference datasets' many-small-files layout
+    (FAST5 dirs at ~4k reads/file); for a few huge BLOW5 files, prefer
+    --io-thread 1 (streaming, O(batch) memory).  Unlike the reference's
+    slow5_init_mt, parallelism here is across files, not within one file, so
+    a single large file sees no decode speedup."""
     import collections
     from concurrent.futures import ThreadPoolExecutor
 

@@ -31,16 +31,18 @@ def _key(res):
 
 
 def _both(index, mo_factory, batch):
-    eng = MappingEngine(index, mo_factory())
-    assert eng.device_tail
-    dev = eng.map_batch(batch)
-    os.environ["RAWHASH_TPU_NO_DEVICE_TAIL"] = "1"
+    # device-tail is opt-in since round 3 (it measured 4.8x slower than the
+    # host tail end-to-end on the viral bench); parity must still hold
+    os.environ["RAWHASH_TPU_DEVICE_TAIL"] = "1"
     try:
-        eng2 = MappingEngine(index, mo_factory())
-        assert not eng2.device_tail
-        host = eng2.map_batch(batch)
+        eng = MappingEngine(index, mo_factory())
+        assert eng.device_tail
+        dev = eng.map_batch(batch)
     finally:
-        del os.environ["RAWHASH_TPU_NO_DEVICE_TAIL"]
+        del os.environ["RAWHASH_TPU_DEVICE_TAIL"]
+    eng2 = MappingEngine(index, mo_factory())
+    assert not eng2.device_tail
+    host = eng2.map_batch(batch)
     return dev, host, eng
 
 
@@ -93,12 +95,16 @@ def test_device_tail_disabled_for_special_modes():
     pore = synthetic_pore(k=6)
     genome = "".join(rng.choice(list("ACGT"), size=6000))
     index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
-    for tweak in (
-        lambda m: setattr(m, "flag", m.flag | MapFlag.RMQ),
-        lambda m: setattr(m, "flag", m.flag | MapFlag.DTW_EVALUATE_CHAINS),
-        lambda m: setattr(m, "bw_long", m.bw * 3),
-    ):
-        m = MapOptions()
-        tweak(m)
-        eng = MappingEngine(index, m)
-        assert not eng.device_tail
+    os.environ["RAWHASH_TPU_DEVICE_TAIL"] = "1"
+    try:
+        for tweak in (
+            lambda m: setattr(m, "flag", m.flag | MapFlag.RMQ),
+            lambda m: setattr(m, "flag", m.flag | MapFlag.DTW_EVALUATE_CHAINS),
+            lambda m: setattr(m, "bw_long", m.bw * 3),
+        ):
+            m = MapOptions()
+            tweak(m)
+            eng = MappingEngine(index, m)
+            assert not eng.device_tail
+    finally:
+        del os.environ["RAWHASH_TPU_DEVICE_TAIL"]

@@ -85,9 +85,16 @@ def test_cli_io_thread_flag(tmp_path):
             capture_output=True, text=True, env=env, timeout=600,
         )
         assert r.returncode == 0, r.stderr
-        # col 13+ carries the wall-clock mt:f: tag; compare cols 1-12
+        # strip only the wall-clock-dependent mt:f: tag; every other column
+        # AND tag (ci/sl/cm/nc/s1/sm) must be identical across thread counts
         outs.append(
-            ["\t".join(l.split("\t")[:12]) for l in r.stdout.splitlines()]
+            [
+                "\t".join(
+                    c for c in l.split("\t") if not c.startswith("mt:f:")
+                )
+                for l in r.stdout.splitlines()
+            ]
         )
     assert outs[0] == outs[1]
     assert len(outs[0]) >= 8
+    assert any("ci:i:" in l for l in outs[0])  # tags participate in compare
