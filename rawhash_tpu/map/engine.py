@@ -28,6 +28,11 @@ from .device_step import chunk_step
 RI_ID_SHIFT = 32
 
 
+def _pow2_up(x: int) -> int:
+    """Smallest power of two >= x (capacity-ladder snap)."""
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 @dataclasses.dataclass
 class MapRecord:
     """One output mapping (reference: ri_map_t, rmap.h)."""
@@ -344,17 +349,23 @@ class MappingEngine:
         one chunk, reference: rmap.cpp:403-404).  These are the *initial*
         capacities: the chunk loop grows a_cap/p_cap (and escalates to the
         wide i32 packing) whenever a chunk overflows, so no hit is ever
-        silently dropped (reference semantics: rh_kvec never truncates)."""
+        silently dropped (reference semantics: rh_kvec never truncates).
+
+        Capacities snap to powers of two: every distinct (shape, statics)
+        signature is a separate XLA compile (minutes on this backend), so
+        a tiny capacity ladder keeps different genomes / occupancy profiles
+        reusing the same compiled programs and the same persistent-cache
+        entries instead of each picking a bespoke multiple of 128."""
         mo = self.mopt
         if mo.flag & MapFlag.NO_ADAPTIVE:
             l_chunk = int(max(1, qlens.max()))
             l_chunk = ((l_chunk + 4095) // 4096) * 4096
             max_chunk = 1
-            e_cap = max(256, min(l_chunk // 3, 1 << 14))
+            e_cap = max(256, min(_pow2_up(l_chunk // 3), 1 << 14))
             mu, sigma = self._occ_stats()
             expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
-            a_cap = max(mo.max_anchors_per_read, (expected + 127) & ~127, 512)
-            a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
+            a_cap = max(mo.max_anchors_per_read, expected, 512)
+            a_cap = min(_pow2_up(a_cap), int(mo.max_anchor_cap) or 32000)
             p_cap = 8  # single chunk: carried anchors unused
         else:
             l_chunk = int(mo.chunk_size)
@@ -365,10 +376,69 @@ class MappingEngine:
             mu, sigma = self._occ_stats()
             expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
             total = mo.max_anchors_per_read
-            a_cap = min(max(512, (expected + 127) & ~127), (2 * total) // 3)
+            a_cap = min(_pow2_up(max(512, expected)), _pow2_up(total) // 2)
             a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
-            p_cap = total - a_cap
+            p_cap = _pow2_up(max(total - a_cap, _pow2_up(total) // 4))
         return l_chunk, max_chunk, e_cap, a_cap, p_cap
+
+    def warmup(self, batch_size: int | None = None) -> float:
+        """Pre-compile the chunk-step program for the planned capacities by
+        dispatching one dummy batch (noise signals at chunk_size).  Returns
+        the wall seconds spent.  Called by the CLI in a background thread at
+        index-load time so the multi-minute XLA compile overlaps file
+        discovery/decode instead of stalling the first mapped read
+        (real-time premise: the reference maps its first read instantly).
+
+        Only the adaptive chunked mode has statically known shapes;
+        NO_ADAPTIVE (ava) shapes depend on the incoming read lengths, so
+        warmup is a no-op there."""
+        if self.mopt.flag & MapFlag.NO_ADAPTIVE:
+            return 0.0
+        import os as _os
+
+        import jax as _jax
+
+        # CPU compiles in seconds; spending a dummy-batch execution there
+        # (tests, small hosts) buys nothing
+        if _jax.default_backend() == "cpu" and not _os.environ.get(
+            "RAWHASH_TPU_FORCE_WARMUP"
+        ):
+            return 0.0
+        t0 = time.perf_counter()
+        b = int(batch_size or self.mopt.batch_reads)
+        rng = np.random.default_rng(0)
+        reads = [
+            (f"__warmup_{i}",
+             rng.normal(90.0, 10.0, self.mopt.chunk_size).astype(np.float32))
+            for i in range(b)
+        ]
+        st = _BatchState(self, reads)
+        _submit_chunk(self, st)
+        out = st.pending
+        np.asarray(out.scalars)  # blocks until the program is compiled + run
+        if self.device_tail:
+            np.asarray(out.summaries[:, :64, :])
+        else:
+            # the packed-anchor slice fetch compiles its own small program
+            np.asarray(out.packed[:, : min(256, out.packed.shape[1]), :])
+        # undo the work-accounting of the dummy dispatch
+        with self._stats_lock:
+            self.stats["dp_cells"] = self.stats.get("dp_cells", 0) - (
+                st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
+            )
+        dt = time.perf_counter() - t0
+        self.stats["warmup_s"] = round(dt, 2)
+        return dt
+
+    def warmup_async(self, batch_size: int | None = None):
+        """Kick off warmup() in a daemon thread; returns the thread."""
+        import threading
+
+        th = threading.Thread(
+            target=lambda: self.warmup(batch_size), daemon=True
+        )
+        th.start()
+        return th
 
 
 class _BatchState:
@@ -385,9 +455,13 @@ class _BatchState:
         (self.l_chunk, self.max_chunk, self.e_cap, self.a_cap,
          self.p_cap) = engine._plan(self.qlens)
         b, p_cap = self.b, self.p_cap
-        # device-side arrays pad the batch to the mesh size in dist mode
-        # (padded rows have slen 0 and never produce anchors)
-        self.b_dev = engine.dist.pad_batch(b) if engine.dist else b
+        # device-side arrays pad the batch to a power of two (and to the
+        # mesh size in dist mode): padded rows have slen 0 and never produce
+        # anchors, and snapping the batch dim means a stream's final partial
+        # batch reuses an already-compiled signature instead of paying a
+        # fresh multi-minute XLA compile for its bespoke size
+        b_snap = _pow2_up(b)
+        self.b_dev = engine.dist.pad_batch(b_snap) if engine.dist else b_snap
         self.carry = NormCarry.zeros(self.b_dev)
         self.ev_offset = jnp.zeros(self.b_dev, jnp.int32)
         self.prev_key = np.full((b, p_cap), 0xFFFFFFFF, dtype=np.uint32)

@@ -151,6 +151,10 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
 
     engine = MappingEngine(index, mopt)
     log(f"mid_occ = {mopt.mid_occ}")
+    # pre-compile the chunk-step program while the prefetch thread below
+    # reads/decodes signal files: the multi-minute XLA warmup then overlaps
+    # I/O instead of stalling the first mapped read
+    engine.warmup_async()
     su = None
     if mopt.flag & MapFlag.SEQUENCEUNTIL:
         su = SequenceUntil(
