@@ -27,8 +27,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INT32_MIN = jnp.int32(-(2**31))
+# numpy, NOT jnp: a module-level jax.Array is a device constant whose
+# lowering-time embedding costs a D2H fetch through the tunnel (multi-minute
+# trace stalls observed when the link is busy)
+INT32_MIN = np.int32(-(2**31))
 
 
 def mg_log2_jnp(x):

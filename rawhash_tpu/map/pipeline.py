@@ -107,9 +107,19 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
         return 0
 
     # --- index: load or build (reference: ri_idx_reader_read) ---
+    from ..index.ref_ind import is_ref_index, load_ref_index
+
     if is_index_file(args.target):
         index = load_index(args.target)
         log(f"loaded index: {index.n_seq} target(s), {index.n_seeds} seeds")
+    elif is_ref_index(args.target):
+        # the reference binary's own .ind format (rindex.c:650-776) loads
+        # directly, so reference-built indexes drop into this engine
+        index = load_ref_index(args.target)
+        log(
+            f"loaded reference .ind index: {index.n_seq} target(s), "
+            f"{index.n_seeds} seeds"
+        )
     else:
         if iopt.flag & IndexFlag.SIG_TARGET:
             from ..io.sigfile import find_signal_files

@@ -31,7 +31,11 @@ import numpy as np
 
 FLT_MIN = np.float32(1.1754943508222875e-38)  # numpy scalars: inline as
 FLT_MAX = np.float32(3.4028234663852886e38)  # literals (no const hoisting)
-BIG_I32 = jnp.int32(0x7FFFFFFF)
+# numpy, NOT jnp: a module-level jax.Array is a device constant, and
+# embedding it at lowering time forces a D2H fetch through the tunnel —
+# measured as multi-minute trace stalls when the link is busy (it also
+# trips the jax 0.9.0 fastpath hoisted-constant bug, see device_step.py)
+BIG_I32 = np.int32(0x7FFFFFFF)
 
 
 class NormCarry(NamedTuple):
