@@ -378,7 +378,14 @@ class MappingEngine:
             total = mo.max_anchors_per_read
             a_cap = min(_pow2_up(max(512, expected)), _pow2_up(total) // 2)
             a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
-            p_cap = _pow2_up(max(total - a_cap, _pow2_up(total) // 4))
+            # total is a BUDGET, not a target: the initial carried-anchor
+            # width starts at <= 4x the per-chunk hit capacity (carried
+            # anchors are only the chained survivors of earlier chunks) and
+            # grows on demand — a large --max-anchors budget must not
+            # inflate every chunk's sort/fill width up front (a 16k budget
+            # cost 3.4x the device work of the occupancy-sized width on the
+            # 5 Mbp bench)
+            p_cap = _pow2_up(max(min(total - a_cap, 4 * a_cap), 8))
         return l_chunk, max_chunk, e_cap, a_cap, p_cap
 
     def warmup(self, batch_size: int | None = None) -> float:
