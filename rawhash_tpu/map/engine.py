@@ -671,10 +671,12 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         engine.stats["chain_overflow"] = engine.stats.get(
             "chain_overflow", 0
         ) + int(h_scal[st.active, 6].sum())
-    kcols = out.summaries.shape[1]
-    numax = int(h_nu.max()) if h_nu.size else 0
-    kcut = min(kcols, max(8, numax))
-    hs = np.asarray(out.summaries[:, :kcut, :])[: st.b]
+    # fetch the WHOLE summaries buffer: it is small (B x k_cap x 10 i32,
+    # ~650 KB at defaults), its copy_to_host_async started at submit time,
+    # and slicing it at a data-dependent kcut would compile+load a fresh
+    # device program per distinct chain count — the per-chunk program-load
+    # stalls behind BENCH_r02's 4.8x device-tail regression
+    hs = np.asarray(out.summaries)[: st.b]
     with engine._stats_lock:
         engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
 

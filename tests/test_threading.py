@@ -1,0 +1,110 @@
+"""Concurrency coverage for the threaded mapping pipeline.
+
+The engine overlaps batches: device dispatch on the caller thread, D2H fetch
++ host chain tail in a worker pool (reference analog: kt_pipeline,
+kthread.c:130).  Python has no TSan; the systematic check here is
+determinism — the threaded pipeline must produce records identical to the
+serial path regardless of pipeline depth, and shared counters must stay
+consistent under the worker interleavings.
+"""
+
+import numpy as np
+import pytest
+
+from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
+from rawhash_tpu.index.build import build_index_from_sequences
+from rawhash_tpu.io.signal_gen import simulate_reads
+from rawhash_tpu.map.engine import MappingEngine
+from rawhash_tpu.pore import synthetic_pore
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(17)
+    genome = "".join(rng.choice(list("ACGT"), size=20_000))
+    pore = synthetic_pore(k=6)
+    iopt = IndexOptions()
+    mopt_proto = MapOptions()
+    set_preset("viral", iopt, mopt_proto)
+    index = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    reads = simulate_reads(genome, pore, n_reads=48, read_len=900, rng=rng)
+    batches = [
+        [(n, s) for n, s, _, _ in reads[i : i + 8]] for i in range(0, 48, 8)
+    ]
+    return index, batches
+
+
+def _records(index, batches, depth):
+    mopt = MapOptions()
+    set_preset("viral", IndexOptions(), mopt)
+    mopt.max_anchors_per_read = 1024
+    mopt.pipeline_depth = depth
+    engine = MappingEngine(index, mopt)
+    out = []
+    for results in engine.map_stream(iter(batches)):
+        for res in results:
+            out.append(
+                (res.name,
+                 [(m.mapped, m.ref_id, m.read_start, m.read_end,
+                   m.frag_start, m.frag_len, m.rev, m.mapq)
+                  for m in res.records])
+            )
+    return out, engine.stats
+
+
+def test_pipeline_depth_determinism(setup):
+    """Depth 1 (serial) and depth 3 (three batches in flight across worker
+    threads) must produce identical records in identical order."""
+    index, batches = setup
+    serial, stats1 = _records(index, batches, depth=1)
+    threaded, stats3 = _records(index, batches, depth=3)
+    assert serial == threaded
+    assert stats1["reads"] == stats3["reads"] == 48
+    assert stats1["mapped"] == stats3["mapped"]
+
+
+def test_repeated_threaded_runs_are_stable(setup):
+    """Two threaded runs race the same worker pool; records and shared
+    counters (guarded by _stats_lock) must not vary with interleaving."""
+    index, batches = setup
+    a, sa = _records(index, batches, depth=3)
+    b, sb = _records(index, batches, depth=3)
+    assert a == b
+    assert sa["reads"] == sb["reads"]
+    assert sa["mapped"] == sb["mapped"]
+    assert sa["hit_overflow"] == sb["hit_overflow"]
+
+
+def test_warmup_concurrent_with_mapping(setup):
+    """warmup_async racing real batches must not corrupt results: the memo
+    serializes compiles per signature and the dummy batch touches no
+    engine carry state."""
+    import os
+
+    index, batches = setup
+    mopt = MapOptions()
+    set_preset("viral", IndexOptions(), mopt)
+    mopt.max_anchors_per_read = 1024
+    mopt.batch_reads = 8
+    engine = MappingEngine(index, mopt)
+    os.environ["RAWHASH_TPU_FORCE_WARMUP"] = "1"
+    try:
+        th = engine.warmup_async(8)
+        out = []
+        for results in engine.map_stream(iter(batches)):
+            out.extend(results)
+        th.join(timeout=120)
+    finally:
+        os.environ.pop("RAWHASH_TPU_FORCE_WARMUP", None)
+    assert len(out) == 48
+    # the dummy warmup batch must not leak into stats or results
+    assert engine.stats["reads"] == 48
+    assert not any(r.name.startswith("__warmup") for r in out)
+    serial, _ = _records(index, batches, depth=1)
+    got = [
+        (res.name,
+         [(m.mapped, m.ref_id, m.read_start, m.read_end,
+           m.frag_start, m.frag_len, m.rev, m.mapq) for m in res.records])
+        for res in out
+    ]
+    assert got == serial
