@@ -420,19 +420,28 @@ class MappingEngine:
             for i in range(b)
         ]
         st = _BatchState(self, reads)
-        _submit_chunk(self, st)
+        dummy_cells = st.b_dev * st.a_cap * self.mopt.max_chain_iter
+        _submit_chunk(self, st)  # chunk-1 (no carried anchors) program
         out = st.pending
         np.asarray(out.scalars)  # blocks until the program is compiled + run
         if self.device_tail:
+            dummy_cells += st.b_dev * st.p_cap * self.mopt.max_chain_iter
             np.asarray(out.summaries[:, :64, :])
         else:
             # the packed-anchor slice fetch compiles its own small program
             np.asarray(out.packed[:, : min(256, out.packed.shape[1]), :])
-        # undo the work-accounting of the dummy dispatch
+            # pre-compile the with-carried-anchors variant too (chunks 2+)
+            st.pending = st.pending_slen = st.pending_spec = None
+            st.pending_inputs = None
+            st.n_prev[:] = 1
+            st.chunk_idx = 0
+            _submit_chunk(self, st)
+            np.asarray(st.pending.scalars)
+            dummy_cells += st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
+        # undo the work-accounting of the dummy dispatches (exact amounts, so
+        # a warmup racing real batches does not erase their counts)
         with self._stats_lock:
-            self.stats["dp_cells"] = self.stats.get("dp_cells", 0) - (
-                st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
-            )
+            self.stats["dp_cells"] = self.stats.get("dp_cells", 0) - dummy_cells
         dt = time.perf_counter() - t0
         self.stats["warmup_s"] = round(dt, 2)
         return dt
@@ -552,12 +561,12 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
     )
     # chaining-DP work accounting for the bench's cell-updates/s metric:
     # the fill kernel evaluates max_iter predecessor window scores for each
-    # of the (a_cap + p_cap) anchor slots of every batch row (the padded
-    # compute the device actually executes; reference hot loop:
-    # lchain.c:439-505)
+    # anchor slot of every batch row (a_cap + the pack's carried-anchor
+    # width — 0 on no-prev cycles; reference hot loop: lchain.c:439-505)
+    fill_width = st.a_cap + max((pack.shape[1] - 2) // 3, 0)
     with engine._stats_lock:
         engine.stats["dp_cells"] = engine.stats.get("dp_cells", 0) + (
-            st.b_dev * (st.a_cap + st.p_cap) * mo.max_chain_iter
+            st.b_dev * fill_width * mo.max_chain_iter
         )
     if engine.dist is not None:
         return engine.dist.step(
@@ -758,14 +767,29 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         st.pending_inputs = (sig_dev, slen, active_arr)
         return
     # single packed i32 upload: carried anchors + n_prev + slen (each
-    # separate H2D pays a tunnel round trip)
-    p_cap = st.p_cap
-    pack = np.zeros((st.b_dev, 3 * p_cap + 2), dtype=np.int32)
-    pack[: st.b, :p_cap] = st.prev_key.view(np.int32)
-    pack[: st.b, p_cap : 2 * p_cap] = st.prev_tpos
-    pack[: st.b, 2 * p_cap : 3 * p_cap] = st.prev_qpos
-    pack[: st.b, 3 * p_cap] = st.n_prev
-    pack[:, 3 * p_cap + 1] = slen
+    # separate H2D pays a tunnel round trip).  When no read carries any
+    # anchors (every batch's first chunk; on short-read workloads most
+    # cycles), the pack collapses to [B, 2] — decode_prev_pack reads it as
+    # p_cap = 0 — which skips a multi-MB zeros upload AND shrinks the
+    # merge/sort/fill width from a_cap + p_cap to a_cap.  The two pack
+    # shapes are two compiled signatures; warmup() pre-compiles both.
+    import os as _os
+
+    if (
+        engine.dist is None
+        and not st.n_prev.any()
+        and not _os.environ.get("RAWHASH_TPU_NO_EMPTY_PACK")
+    ):
+        pack = np.zeros((st.b_dev, 2), dtype=np.int32)
+        pack[:, 1] = slen
+    else:
+        p_cap = st.p_cap
+        pack = np.zeros((st.b_dev, 3 * p_cap + 2), dtype=np.int32)
+        pack[: st.b, :p_cap] = st.prev_key.view(np.int32)
+        pack[: st.b, p_cap : 2 * p_cap] = st.prev_tpos
+        pack[: st.b, 2 * p_cap : 3 * p_cap] = st.prev_qpos
+        pack[: st.b, 3 * p_cap] = st.n_prev
+        pack[:, 3 * p_cap + 1] = slen
     out = _dispatch_step(engine, st, sig_dev, pack)
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
