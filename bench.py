@@ -314,6 +314,7 @@ def _ava_overlap_quality(n_reads=120, genome_len=60_000, read_len=1500,
 
 
 def main():
+    t_start = time.time()
     cache_dir = os.environ.get(
         "RAWHASH_TPU_CACHE", os.path.expanduser("~/.cache/rawhash_tpu_xla")
     )
@@ -329,15 +330,28 @@ def main():
         max_anchors=3072, rng_seed=7,
     )
 
+    # the extra workloads are best-effort: tunnel congestion can stall a
+    # fresh program's first execution for many minutes, and the primary
+    # viral metric must never be lost to an extra workload's failure or to
+    # the harness's overall time budget
+    budget_s = float(os.environ.get("RAWHASH_BENCH_BUDGET_S", "1500"))
     skip_extra = os.environ.get("RAWHASH_BENCH_QUICK")
     ecoli = ava = None
-    if not skip_extra:
-        ecoli = _throughput_workload(
-            "ecoli", genome_len=5_000_000, preset="sensitive", batch=batch,
-            n_batches=2, read_len=2500, baseline_bps=BASELINE_D2_BPS,
-            max_anchors=16384, rng_seed=11, ref_timeout=1800,
-        )
-        ava = _ava_overlap_quality()
+    if not skip_extra and time.time() - t_start < budget_s:
+        try:
+            ecoli = _throughput_workload(
+                "ecoli", genome_len=5_000_000, preset="sensitive",
+                batch=batch, n_batches=2, read_len=2500,
+                baseline_bps=BASELINE_D2_BPS,
+                max_anchors=16384, rng_seed=11, ref_timeout=1800,
+            )
+        except Exception as e:
+            print(f"# [ecoli] failed: {e}", file=sys.stderr)
+    if not skip_extra and time.time() - t_start < budget_s:
+        try:
+            ava = _ava_overlap_quality()
+        except Exception as e:
+            print(f"# [ava] failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "viral_realtime_mapping_throughput",

@@ -71,12 +71,30 @@ class AotMemo:
                     functools.partial(self.raw, **statics), keep_unused=True
                 )
                 self.cache[key] = jf
-        if new and os.environ.get("RAWHASH_TPU_LOG_COMPILES"):
-            import sys
-            import time as _time
+        if not new:
+            return jf(*args)
+        # first call of this signature triggers the compile; the tunneled
+        # backend's compile RPC fails transiently ("response body closed
+        # before all bytes were read" / "Failed to buffer the request
+        # body"), so retry a few times before giving up
+        import sys
+        import time as _time
 
-            t0 = _time.perf_counter()
-            out = jf(*args)
+        t0 = _time.perf_counter()
+        for attempt in range(3):
+            try:
+                out = jf(*args)
+                break
+            except Exception as exc:  # noqa: BLE001
+                if "remote_compile" not in str(exc) or attempt == 2:
+                    raise
+                print(
+                    f"[rawhash-tpu] transient compile failure "
+                    f"(attempt {attempt + 1}/3): {exc}",
+                    file=sys.stderr,
+                )
+                _time.sleep(5.0 * (attempt + 1))
+        if os.environ.get("RAWHASH_TPU_LOG_COMPILES"):
             jax.block_until_ready(out)
             shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(args)]
             print(
@@ -85,8 +103,7 @@ class AotMemo:
                 f" statics={dict(sorted(statics.items()))}",
                 file=sys.stderr,
             )
-            return out
-        return jf(*args)
+        return out
 
 
 class ChunkOut(NamedTuple):

@@ -447,9 +447,21 @@ class MappingEngine:
         return dt
 
     def warmup_async(self, batch_size: int | None = None):
-        """Kick off warmup() in a daemon thread; returns the thread."""
+        """Kick off warmup() in a daemon thread; returns the thread, or None
+        when warmup would be a no-op (don't start a thread that races jax
+        state at interpreter shutdown — observed as SIGABRT "exception not
+        rethrown" teardown crashes in short CLI runs)."""
+        import os as _os
         import threading
 
+        import jax as _jax
+
+        if self.mopt.flag & MapFlag.NO_ADAPTIVE:
+            return None
+        if _jax.default_backend() == "cpu" and not _os.environ.get(
+            "RAWHASH_TPU_FORCE_WARMUP"
+        ):
+            return None
         th = threading.Thread(
             target=lambda: self.warmup(batch_size), daemon=True
         )
@@ -533,13 +545,22 @@ class _BatchState:
         self.wide = self.wide or (self.a_cap + self.p_cap >= (1 << 15))
 
 
-def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
+def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack,
+                   *, a_cap=None, wide=None, carry=None, ev_offset=None,
+                   q_rank=None):
     """Invoke the (single-device or sharded) chunk step with the batch's
-    CURRENT capacities/packing — also the overflow-retry entry point."""
+    CURRENT capacities/packing.  The keyword overrides let the overflow
+    quarantine re-dispatch a row SUBSET at a grown capacity (the sliced
+    sig/pack/carry rows) without touching the main batch's program."""
     import jax.numpy as jnp
 
     mo = engine.mopt
     io = engine.iopt
+    a_cap = st.a_cap if a_cap is None else a_cap
+    wide = st.wide if wide is None else wide
+    carry = st.carry if carry is None else carry
+    ev_offset = st.ev_offset if ev_offset is None else ev_offset
+    q_rank = st.q_rank_dev if q_rank is None else q_rank
     params = dict(
         diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
         fine_min=io.fine_min, fine_max=io.fine_max,
@@ -548,7 +569,7 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
         window_length2=mo.window_length2,
         threshold1=mo.threshold1, threshold2=mo.threshold2,
         peak_height=mo.peak_height,
-        e_cap=st.e_cap, a_cap=st.a_cap,
+        e_cap=st.e_cap, a_cap=a_cap,
         min_events=mo.min_events, mid_occ=int(mo.mid_occ),
         max_dist_t=mo.max_target_gap_length,
         max_dist_q=mo.max_query_gap_length,
@@ -557,28 +578,137 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack):
         all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
         keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
         key_words=engine._key_words, pos_bits=engine._pos_bits,
-        wide=st.wide,
+        wide=wide,
     )
     # chaining-DP work accounting for the bench's cell-updates/s metric:
     # the fill kernel evaluates max_iter predecessor window scores for each
     # anchor slot of every batch row (a_cap + the pack's carried-anchor
     # width — 0 on no-prev cycles; reference hot loop: lchain.c:439-505)
-    fill_width = st.a_cap + max((pack.shape[1] - 2) // 3, 0)
+    fill_width = a_cap + max((pack.shape[1] - 2) // 3, 0)
     with engine._stats_lock:
         engine.stats["dp_cells"] = engine.stats.get("dp_cells", 0) + (
-            st.b_dev * fill_width * mo.max_chain_iter
+            sig_dev.shape[0] * fill_width * mo.max_chain_iter
         )
     if engine.dist is not None:
         return engine.dist.step(
-            sig_dev, st.carry, st.ev_offset, pack,
-            st.q_rank_dev, engine._target_rank, **params,
+            sig_dev, carry, ev_offset, pack,
+            q_rank, engine._target_rank, **params,
         )
     from .device_step import chunk_step_aot
 
     return chunk_step_aot(
-        engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
-        jnp.asarray(pack), st.q_rank_dev, engine._target_rank, **params,
+        engine.didx, jnp.asarray(sig_dev), carry, ev_offset,
+        jnp.asarray(pack), q_rank, engine._target_rank, **params,
     )
+
+
+def _decode_packed(engine: MappingEngine, hp: np.ndarray):
+    """Unpack the fetched anchor words into (key, tpos, qpos, f, p) planes
+    (inverse of the device-side packing in device_step.finish_chunk)."""
+    kw = engine._key_words
+    if hp.dtype == np.int32:
+        # wide 5-word i32 layout (large capacities / offsets)
+        return (hp[:, :, 0].astype(np.uint32), hp[:, :, 1], hp[:, :, 2],
+                hp[:, :, 3], hp[:, :, 4])
+    if kw <= 2:
+        if kw == 1:
+            comb = hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+        else:
+            comb = (
+                hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+                | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
+            )
+        pos_mask = np.uint32((1 << engine._pos_bits) - 1)
+        rev = (comb >> np.uint32(16 * kw - 1)) & np.uint32(1)
+        tid = (comb >> np.uint32(engine._pos_bits)) & np.uint32(
+            (1 << engine._tid_bits) - 1
+        )
+        h_key = (rev << np.uint32(31)) | tid
+        h_tpos = (comb & pos_mask).astype(np.int32)
+    else:
+        h_key = (
+            hp[:, :, 0].astype(np.uint16).astype(np.uint32)
+            | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
+        )
+        h_tpos = (
+            hp[:, :, 2].astype(np.uint16).astype(np.uint32)
+            | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
+        ).view(np.int32)
+    return (h_key, h_tpos, hp[:, :, kw].astype(np.int32),
+            hp[:, :, kw + 1].astype(np.int32),
+            hp[:, :, kw + 2].astype(np.int32))
+
+
+def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
+                         sig_dev, pack, h_scal):
+    """Re-run ONLY the rows whose seed hits overflowed a_cap, in a compact
+    sub-batch at a grown capacity (zero-truncation without growing the main
+    program).  Growing the WHOLE batch for one repeat-heavy read multiplies
+    every row's sort/fill width and the packed D2H by the outlier's needs —
+    measured 150+ MB fetches at 100 Mbp scale.  Rows pad to a power of two
+    and capacities snap to the ladder, so sub-programs cache well.
+
+    Returns {row: (key, tpos, qpos, f, p, n_anchors)} for resolved rows.
+    Reference semantics preserved: hits are never dropped (rh_kvec growth,
+    rseed.c:105-154) until the --max-anchor-cap ceiling."""
+    import jax.numpy as jnp
+
+    cap_ceil = int(engine.mopt.max_anchor_cap)
+    rows = np.nonzero(h_scal[:, 4] > 0)[0]
+    if rows.size == 0:
+        return {}
+    if cap_ceil <= st.a_cap:  # hard cap already reached: truncation stands
+        with engine._stats_lock:
+            engine.stats["hit_overflow"] += int(h_scal[rows, 4].sum())
+        return {}
+    with engine._stats_lock:
+        engine.stats["anchor_regrows"] = (
+            engine.stats.get("anchor_regrows", 0) + 1
+        )
+    r_pad = _pow2_up(rows.size)
+    rows_d = jnp.asarray(rows)
+    sig_sub = np.zeros((r_pad,) + sig_dev.shape[1:], sig_dev.dtype)
+    sig_sub[: rows.size] = sig_dev[rows]
+    pack_sub = np.zeros((r_pad, pack.shape[1]), pack.dtype)
+    pack_sub[: rows.size] = pack[rows]
+    carry_sub = NormCarry(
+        jnp.zeros(r_pad, jnp.float32).at[: rows.size].set(st.carry.sum[rows_d]),
+        jnp.zeros(r_pad, jnp.float32).at[: rows.size].set(
+            st.carry.sum_sq[rows_d]),
+        jnp.zeros(r_pad, jnp.int32).at[: rows.size].set(st.carry.n[rows_d]),
+    )
+    evo_sub = jnp.zeros(r_pad, jnp.int32).at[: rows.size].set(
+        st.ev_offset[rows_d])
+    qr_sub = jnp.zeros(r_pad, jnp.int32).at[: rows.size].set(
+        st.q_rank_dev[rows_d])
+
+    sub_a = st.a_cap
+    need = int(h_scal[rows, 4].max())
+    p_used = max((pack.shape[1] - 2) // 3, 0)
+    while True:
+        sub_a = min(_pow2_up(max(sub_a + need, 2 * sub_a)), cap_ceil)
+        wide_sub = st.wide or (sub_a + p_used >= (1 << 15))
+        out = _dispatch_step(
+            engine, st, sig_sub, pack_sub, a_cap=sub_a, wide=wide_sub,
+            carry=carry_sub, ev_offset=evo_sub, q_rank=qr_sub,
+        )
+        scal = np.asarray(out.scalars)[: rows.size]
+        need = int(scal[:, 4].max()) if scal.size else 0
+        if need <= 0 or sub_a >= cap_ceil:
+            break
+    nmax = int(scal[:, 0].max()) if scal.size else 0
+    # pow2 fetch width: every distinct slice width is a separate device
+    # program whose LOAD can stall seconds on this infra
+    ncut = min(out.packed.shape[1], max(128, _pow2_up(nmax)))
+    hp = np.asarray(out.packed[:, :ncut, :])[: rows.size]
+    key, tpos, qpos, f, p = _decode_packed(engine, hp)
+    # unresolved residue past the hard cap stays counted as overflow
+    with engine._stats_lock:
+        engine.stats["hit_overflow"] += int(scal[:, 4].sum())
+    return {
+        int(row): (key[j], tpos[j], qpos[j], f[j], p[j], int(scal[j, 0]))
+        for j, row in enumerate(rows)
+    }
 
 
 def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
@@ -829,6 +959,9 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     st.pending = st.pending_slen = st.pending_spec = None
     st.pending_inputs = None
     t_wait = time.perf_counter()
+    import os as _os
+
+    trace = _os.environ.get("RAWHASH_TPU_TRACE_CHUNK")
     # D2H: the tiny scalar block (already en route — copy_to_host_async at
     # submit) gives the exact live-anchor width; if the speculative prefix
     # started at submit covers it, its bytes are usually already here,
@@ -836,28 +969,40 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # valid-first; width rounds up to 128 so the slice program compiles only
     # a handful of variants)
     h_scal = np.asarray(out.scalars)[: st.b]
-    # --- zero-truncation retry: a chunk whose hit count exceeded a_cap is
-    # re-run at grown capacity (power-of-2 covering the true hit total) with
-    # the SAME inputs — carry/ev_offset were not yet committed, so the rerun
-    # is exact.  Reference semantics: hits are never dropped (rh_kvec
-    # growth, rseed.c:105-154); here overflow instead costs one recompile
-    # per capacity step (persistently cached) + one extra device pass.
+    # --- zero-truncation retry (reference semantics: hits are never
+    # dropped — rh_kvec growth, rseed.c:105-154).  Single-device engines
+    # QUARANTINE: only the rows whose hits overflowed re-run, in a compact
+    # grown sub-batch, so one repeat-heavy read does not multiply every
+    # row's fill width and packed D2H (carry/ev_offset are committed after,
+    # so the rerun is exact).  The sharded engine keeps the whole-batch
+    # regrow (its shard_map program is one unit).
+    overrides = {}
     cap_ceil = int(mo.max_anchor_cap)
-    while cap_ceil > 0:
-        need = int(h_scal[:, 4].max()) if h_scal.size else 0
-        if need <= 0 or st.a_cap >= cap_ceil:
-            break
-        total_need = st.a_cap + need
-        new_cap = 1 << int(np.ceil(np.log2(total_need)))
-        st.a_cap = min(max(new_cap, 2 * st.a_cap), cap_ceil)
-        st.wide = st.wide or (st.a_cap + st.p_cap >= (1 << 15))
-        with engine._stats_lock:
-            engine.stats["anchor_regrows"] = (
-                engine.stats.get("anchor_regrows", 0) + 1
-            )
-        out = _dispatch_step(engine, st, sig_dev, pack)
-        spec = None
-        h_scal = np.asarray(out.scalars)[: st.b]
+    if trace:
+        print(f"[trace] scalars: {time.perf_counter()-t_wait:.3f}s",
+              flush=True)
+    t_q = time.perf_counter()
+    if engine.dist is None:
+        overrides = _quarantine_overflow(engine, st, sig_dev, pack, h_scal)
+        if trace:
+            print(f"[trace] quarantine({len(overrides)} rows): "
+                  f"{time.perf_counter()-t_q:.3f}s", flush=True)
+    else:
+        while cap_ceil > 0:
+            need = int(h_scal[:, 4].max()) if h_scal.size else 0
+            if need <= 0 or st.a_cap >= cap_ceil:
+                break
+            total_need = st.a_cap + need
+            new_cap = 1 << int(np.ceil(np.log2(total_need)))
+            st.a_cap = min(max(new_cap, 2 * st.a_cap), cap_ceil)
+            st.wide = st.wide or (st.a_cap + st.p_cap >= (1 << 15))
+            with engine._stats_lock:
+                engine.stats["anchor_regrows"] = (
+                    engine.stats.get("anchor_regrows", 0) + 1
+                )
+            out = _dispatch_step(engine, st, sig_dev, pack)
+            spec = None
+            h_scal = np.asarray(out.scalars)[: st.b]
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     h_nanc = h_scal[:, 0]
@@ -866,53 +1011,34 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     h_proc = h_scal[:, 3] != 0
     h_evoff = h_scal[:, 5]
     ncols = out.packed.shape[1]
-    nmax = int(h_nanc.max()) if h_nanc.size else 0
-    ncut = min(ncols, max(128, (nmax + 127) & ~127))
+    if overrides:
+        # quarantined rows' anchors arrive via their own sub-fetch; the
+        # main fetch width follows the widest CLEAN row only
+        clean = np.ones(st.b, bool)
+        clean[list(overrides)] = False
+        nmax = int(h_nanc[clean].max()) if clean.any() else 0
+    else:
+        nmax = int(h_nanc.max()) if h_nanc.size else 0
+    # pow2 fetch width (not multiples of 128): each distinct slice width
+    # compiles+loads its own device program, and program LOADS stall
+    # multi-second on the tunneled backend — the ladder caps the variant
+    # count at log2(n)
+    ncut = min(ncols, max(128, _pow2_up(nmax)))
     if spec is not None and spec.shape[1] >= ncut:
         hp = np.asarray(spec)[: st.b, :ncut, :]
     else:
         hp = np.asarray(out.packed[:, :ncut, :])[: st.b]
     # next chunk's speculative width: this chunk's live width + one block of
     # headroom (benign cross-batch race: plain int store)
-    engine._spec_ncut = min(ncols, ncut + 128)
-    kw = engine._key_words
-    if hp.dtype == np.int32:
-        # wide 5-word i32 layout (large capacities / offsets)
-        h_key = hp[:, :, 0].astype(np.uint32)
-        h_tpos = hp[:, :, 1]
-        h_qpos = hp[:, :, 2]
-        h_f = hp[:, :, 3]
-        h_p = hp[:, :, 4]
-    elif kw <= 2:
-        if kw == 1:
-            comb = hp[:, :, 0].astype(np.uint16).astype(np.uint32)
-        else:
-            comb = (
-                hp[:, :, 0].astype(np.uint16).astype(np.uint32)
-                | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
-            )
-        pos_mask = np.uint32((1 << engine._pos_bits) - 1)
-        rev = (comb >> np.uint32(16 * kw - 1)) & np.uint32(1)
-        tid = (comb >> np.uint32(engine._pos_bits)) & np.uint32(
-            (1 << engine._tid_bits) - 1
-        )
-        h_key = (rev << np.uint32(31)) | tid
-        h_tpos = (comb & pos_mask).astype(np.int32)
-    else:
-        h_key = (
-            hp[:, :, 0].astype(np.uint16).astype(np.uint32)
-            | (hp[:, :, 1].astype(np.uint16).astype(np.uint32) << 16)
-        )
-        h_tpos = (
-            hp[:, :, 2].astype(np.uint16).astype(np.uint32)
-            | (hp[:, :, 3].astype(np.uint16).astype(np.uint32) << 16)
-        ).view(np.int32)
-    if hp.dtype != np.int32:
-        h_qpos = hp[:, :, kw].astype(np.int32)
-        h_f = hp[:, :, kw + 1].astype(np.int32)
-        h_p = hp[:, :, kw + 2].astype(np.int32)
-    with engine._stats_lock:
-        engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
+    engine._spec_ncut = min(ncols, _pow2_up(ncut + 1))
+    if trace:
+        print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
+              f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
+    h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
+    if engine.dist is not None:
+        # dist path: residual overflow after whole-batch growth
+        with engine._stats_lock:
+            engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
         h_events = np.asarray(out.events)[: st.b].astype(np.float32)
     with engine._stats_lock:
@@ -936,9 +1062,15 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         if is_dtw:
             st.all_events[i].append(h_events[i, : h_nev[i]].copy())
         st.ev_totals[i] = int(h_evoff[i])
+        ov = overrides.get(i)
+        if ov is not None:  # quarantined row: grown-capacity rerun results
+            k_i, t_i, q_i, f_i, p_i, n_i = ov
+        else:
+            k_i, t_i, q_i, f_i, p_i, n_i = (
+                h_key[i], h_tpos[i], h_qpos[i], h_f[i], h_p[i], h_nanc[i]
+            )
         regs, chain_axy, (px, py) = engine._chunk_tail(
-            h_key[i], h_tpos[i], h_qpos[i], h_nanc[i],
-            h_f[i], h_p[i], int(h_evoff[i]),
+            k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[i]),
         )
         st.last_regs[i] = regs
         if px.shape[0] > st.p_cap and mo.max_anchor_cap > 0:
