@@ -280,8 +280,30 @@ def options_from_args(args) -> tuple[IndexOptions, MapOptions]:
     return io, mo
 
 
+def _honor_jax_platforms_env() -> None:
+    """Re-apply JAX_PLATFORMS from the environment.
+
+    Environments that pre-register a hardware PJRT plugin at interpreter
+    start (sitecustomize) pin that platform regardless of JAX_PLATFORMS, so
+    a caller asking for `JAX_PLATFORMS=cpu python -m rawhash_tpu ...` (tests,
+    CI hosts without a chip) would silently land on the tunneled device and
+    pay multi-minute compiles.  jax.config.update still works after import,
+    so restore the documented env-var semantics here."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _honor_jax_platforms_env()
     io, mo = options_from_args(args)
     t0 = time.time()
 

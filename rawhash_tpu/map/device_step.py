@@ -36,6 +36,20 @@ import numpy as np
 U32_MAX = np.uint32(0xFFFFFFFF)
 
 
+class CompileLog:
+    """Process-wide ledger of first-call program builds (compile or
+    persistent-cache load): (fn_name, seconds, n_signature).  The bench uses
+    it to split warmup into cold-compile vs cache-hit time — a cache LOAD of
+    a big program is seconds, a cold COMPILE is minutes, and BENCH_r03's
+    682 s warmup with 190 cache entries was indistinguishable without this."""
+
+    entries: list = []
+
+    @classmethod
+    def total_s(cls) -> float:
+        return sum(e[1] for e in cls.entries)
+
+
 class AotMemo:
     """Own (signature -> dedicated jit object) memo around a jitted function.
 
@@ -94,6 +108,9 @@ class AotMemo:
                     file=sys.stderr,
                 )
                 _time.sleep(5.0 * (attempt + 1))
+        CompileLog.entries.append(
+            (self.raw.__name__, _time.perf_counter() - t0, len(self.cache))
+        )
         if os.environ.get("RAWHASH_TPU_LOG_COMPILES"):
             jax.block_until_ready(out)
             shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(args)]

@@ -141,6 +141,13 @@ class MappingEngine:
         import threading
 
         self._stats_lock = threading.Lock()  # _process_chunk runs in workers
+        # cooperative warmup cancellation: the CLI joins the warmup thread
+        # before interpreter exit (a live daemon thread inside a jax call at
+        # teardown SIGABRTs with "FATAL: exception not rethrown"); setting
+        # this event lets warmup skip any dispatch it has not yet started so
+        # the join returns quickly on short runs
+        self._warmup_stop = threading.Event()
+        self._warmup_thread = None
         # D2H anchor packing width: (rev, tid, tpos) ride 1 i16 word for
         # small genomes, 2 for anything up to 2^31 combined bits, else the
         # full 4-word split (the tunnel moves ~16 MB/s, bytes are the cost)
@@ -419,25 +426,38 @@ class MappingEngine:
              rng.normal(90.0, 10.0, self.mopt.chunk_size).astype(np.float32))
             for i in range(b)
         ]
+        if self._warmup_stop.is_set():
+            return 0.0
         st = _BatchState(self, reads)
-        dummy_cells = st.b_dev * st.a_cap * self.mopt.max_chain_iter
+
+        def _cells_of(pending_inputs) -> int:
+            # exact per-dispatch accounting: mirror _dispatch_step's formula
+            # from the pack that was actually uploaded (empty-pack collapse,
+            # dist mode and RAWHASH_TPU_NO_EMPTY_PACK all change the width)
+            pack = pending_inputs[1]
+            width = st.a_cap + max((pack.shape[1] - 2) // 3, 0)
+            return st.b_dev * width * self.mopt.max_chain_iter
+
         _submit_chunk(self, st)  # chunk-1 (no carried anchors) program
         out = st.pending
         np.asarray(out.scalars)  # blocks until the program is compiled + run
         if self.device_tail:
-            dummy_cells += st.b_dev * st.p_cap * self.mopt.max_chain_iter
+            # _dispatch_step_tail always accounts a_cap + p_cap
+            dummy_cells = st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
             np.asarray(out.summaries[:, :64, :])
         else:
+            dummy_cells = _cells_of(st.pending_inputs)
             # the packed-anchor slice fetch compiles its own small program
             np.asarray(out.packed[:, : min(256, out.packed.shape[1]), :])
-            # pre-compile the with-carried-anchors variant too (chunks 2+)
-            st.pending = st.pending_slen = st.pending_spec = None
-            st.pending_inputs = None
-            st.n_prev[:] = 1
-            st.chunk_idx = 0
-            _submit_chunk(self, st)
-            np.asarray(st.pending.scalars)
-            dummy_cells += st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
+            if not self._warmup_stop.is_set():
+                # pre-compile the with-carried-anchors variant too (chunks 2+)
+                st.pending = st.pending_slen = st.pending_spec = None
+                st.pending_inputs = None
+                st.n_prev[:] = 1
+                st.chunk_idx = 0
+                _submit_chunk(self, st)
+                np.asarray(st.pending.scalars)
+                dummy_cells += _cells_of(st.pending_inputs)
         # undo the work-accounting of the dummy dispatches (exact amounts, so
         # a warmup racing real batches does not erase their counts)
         with self._stats_lock:
@@ -466,7 +486,20 @@ class MappingEngine:
             target=lambda: self.warmup(batch_size), daemon=True
         )
         th.start()
+        self._warmup_thread = th
         return th
+
+    def finish_warmup(self, timeout: float | None = None) -> None:
+        """Cancel any not-yet-started warmup dispatches and join the warmup
+        thread.  MUST run before interpreter exit whenever warmup_async was
+        used: a daemon thread blocked inside a jax call at teardown dies with
+        SIGABRT ("terminate called ... FATAL: exception not rethrown"),
+        turning a successful mapping run into a nonzero exit."""
+        self._warmup_stop.set()
+        th = self._warmup_thread
+        if th is not None and th.is_alive():
+            th.join(timeout)
+        self._warmup_thread = None
 
 
 class _BatchState:
@@ -661,10 +694,6 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
         with engine._stats_lock:
             engine.stats["hit_overflow"] += int(h_scal[rows, 4].sum())
         return {}
-    with engine._stats_lock:
-        engine.stats["anchor_regrows"] = (
-            engine.stats.get("anchor_regrows", 0) + 1
-        )
     r_pad = _pow2_up(rows.size)
     rows_d = jnp.asarray(rows)
     sig_sub = np.zeros((r_pad,) + sig_dev.shape[1:], sig_dev.dtype)
@@ -686,6 +715,12 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     need = int(h_scal[rows, 4].max())
     p_used = max((pack.shape[1] - 2) // 3, 0)
     while True:
+        # one regrow per capacity-growth pass (the dist path counts the
+        # same way, so the stat is comparable across engine modes)
+        with engine._stats_lock:
+            engine.stats["anchor_regrows"] = (
+                engine.stats.get("anchor_regrows", 0) + 1
+            )
         sub_a = min(_pow2_up(max(sub_a + need, 2 * sub_a)), cap_ceil)
         wide_sub = st.wide or (sub_a + p_used >= (1 << 15))
         out = _dispatch_step(
@@ -913,13 +948,25 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         pack = np.zeros((st.b_dev, 2), dtype=np.int32)
         pack[:, 1] = slen
     else:
-        p_cap = st.p_cap
-        pack = np.zeros((st.b_dev, 3 * p_cap + 2), dtype=np.int32)
-        pack[: st.b, :p_cap] = st.prev_key.view(np.int32)
-        pack[: st.b, p_cap : 2 * p_cap] = st.prev_tpos
-        pack[: st.b, 2 * p_cap : 3 * p_cap] = st.prev_qpos
-        pack[: st.b, 3 * p_cap] = st.n_prev
-        pack[:, 3 * p_cap + 1] = slen
+        # upload at the LIVE carried-anchor width (pow2 ladder), not p_cap:
+        # the pack is O(B x 3*width) i32 riding a ~16 MB/s tunnel, and at
+        # ecoli/100 Mbp scale p_cap inflates to 4x a_cap while the widest
+        # live row is typically far narrower.  The device reads the width
+        # from the pack shape (decode_prev_pack), and the merge/sort/fill
+        # width shrinks from a_cap + p_cap to a_cap + width with identical
+        # results (slots past n_prev are masked either way).  The dist path
+        # keeps p_cap: its shard_map program is compiled per pack shape and
+        # regrowth there is whole-batch.
+        if engine.dist is None and not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
+            p_use = min(_pow2_up(max(int(st.n_prev.max()), 8)), st.p_cap)
+        else:
+            p_use = st.p_cap
+        pack = np.zeros((st.b_dev, 3 * p_use + 2), dtype=np.int32)
+        pack[: st.b, :p_use] = st.prev_key[:, :p_use].view(np.int32)
+        pack[: st.b, p_use : 2 * p_use] = st.prev_tpos[:, :p_use]
+        pack[: st.b, 2 * p_use : 3 * p_use] = st.prev_qpos[:, :p_use]
+        pack[: st.b, 3 * p_use] = st.n_prev
+        pack[:, 3 * p_use + 1] = slen
     out = _dispatch_step(engine, st, sig_dev, pack)
     engine.profiler.add("submit", time.perf_counter() - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
@@ -1028,9 +1075,13 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         hp = np.asarray(spec)[: st.b, :ncut, :]
     else:
         hp = np.asarray(out.packed[:, :ncut, :])[: st.b]
-    # next chunk's speculative width: this chunk's live width + one block of
-    # headroom (benign cross-batch race: plain int store)
-    engine._spec_ncut = min(ncols, _pow2_up(ncut + 1))
+    # next chunk's speculative width: this chunk's pow2 fetch width (chunk-
+    # to-chunk widths are stable, so the prefix usually covers; when it
+    # falls short the exact-width fallback costs one extra sync fetch).
+    # NOT the next ladder step up: the speculative bytes ride a ~16 MB/s
+    # tunnel, and doubling every prefetch costs more than the occasional
+    # fallback.  (benign cross-batch race: plain int store)
+    engine._spec_ncut = min(ncols, ncut)
     if trace:
         print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)

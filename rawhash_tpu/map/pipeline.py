@@ -221,6 +221,17 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
         pass
     finally:
         stop.set()
+        # drain the prefetch thread: it may be blocked in q.put on the full
+        # queue; empty the queue so it observes `stop` and exits, then join
+        # the warmup thread (see MappingEngine.finish_warmup — a daemon
+        # thread inside a jax call at interpreter teardown SIGABRTs)
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        th.join(timeout=30.0)
+        engine.finish_warmup()
 
     from ..utils.timers import resource_summary
 
