@@ -67,13 +67,41 @@ def _throughput_workload(
 
     # explicit warmup: compiles the chunk-step program(s) for the planned
     # capacities (the CLI runs this concurrently with file decode; here it
-    # is timed separately so the JSON records compile-to-first-read cost)
+    # is timed separately so the JSON records compile-to-first-read cost).
+    # CompileLog + the cache-dir delta split the wall time into program
+    # builds (cold XLA compile vs persistent-cache load — indistinguishable
+    # in BENCH_r03, which is why 682 s with 190 cache entries went
+    # undiagnosed) and everything else (transfers, first execution).
+    from rawhash_tpu.map.device_step import CompileLog
+
+    cache_dir = os.environ.get(
+        "RAWHASH_TPU_CACHE", os.path.expanduser("~/.cache/rawhash_tpu_xla")
+    )
+    def _cache_files():
+        try:
+            return set(os.listdir(cache_dir))
+        except OSError:
+            return set()
+
+    files_before = _cache_files()
+    n_log_before = len(CompileLog.entries)
+    build_before = CompileLog.total_s()
     t0 = time.time()
     engine.warmup(batch)
+    t_warm_only = time.time() - t0
     warm = engine.map_batch(batches[0])
     t_warm = time.time() - t0
-    print(f"# [{name}] warmup (compile + first batch): {t_warm:.2f}s",
-          file=sys.stderr)
+    warm_builds = CompileLog.entries[n_log_before:]
+    warm_build_s = CompileLog.total_s() - build_before
+    new_files = len(_cache_files() - files_before)
+    warmup_detail = {
+        "warmup_only_s": round(t_warm_only, 1),
+        "program_build_s": round(warm_build_s, 1),
+        "n_programs_built": len(warm_builds),
+        "n_cache_files_written": new_files,  # >0 = cold compiles, not loads
+    }
+    print(f"# [{name}] warmup (compile + first batch): {t_warm:.2f}s "
+          f"({warmup_detail})", file=sys.stderr)
 
     # best of 3 timed passes: this is a 2-core host shared with other jobs,
     # and a single pass can lose 30%+ to unrelated load; the best pass is
@@ -165,6 +193,8 @@ def _write_ref_inputs(d, genome, pore, reads):
 
     bases4 = "ACGT"
     if genome is not None:
+        if isinstance(genome, bytes):
+            genome = genome.decode()
         with open(os.path.join(d, "ref.fa"), "w") as fp:
             fp.write(f">chr1\n{genome}\n")
     with open(os.path.join(d, "pore.model"), "w") as fp:

@@ -16,9 +16,13 @@ import numpy as np
 from ..pore import PoreModel, seq_to_sig
 
 COMPLEMENT = str.maketrans("ACGTacgt", "TGCAtgca")
+COMPLEMENT_B = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
 
 
-def revcomp(seq: str) -> str:
+def revcomp(seq):
+    """Reverse complement (str or bytes — Gbp-scale genomes ride as bytes)."""
+    if isinstance(seq, bytes):
+        return seq.translate(COMPLEMENT_B)[::-1]
     return seq.translate(COMPLEMENT)[::-1]
 
 

@@ -143,6 +143,9 @@ class ChunkOut(NamedTuple):
     events: jnp.ndarray  # f16 [B, E] this chunk's events (for DTW)
     carry: NormCarry
     ev_offset: jnp.ndarray  # i32 [B] updated event offset (device-resident)
+    # sharded engine only: per-device locally-owned seed-hit totals
+    # (i32 [n_devices]) for work-balance observability; None single-device
+    shard_hits: jnp.ndarray | None = None
 
 
 def decode_prev_pack(prev_pack: jnp.ndarray):

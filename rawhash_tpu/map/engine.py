@@ -429,16 +429,23 @@ class MappingEngine:
         if self._warmup_stop.is_set():
             return 0.0
         st = _BatchState(self, reads)
+        # dummy dispatches bill their stage time to "warmup:*" — BENCH_r03's
+        # "submit: 199s" was warmup COMPILE time masquerading as steady-state
+        # submit cost (steady submit is ~10 ms/chunk)
+        st.stage_prefix = "warmup:"
 
         def _cells_of(pending_inputs) -> int:
             # exact per-dispatch accounting: mirror _dispatch_step's formula
-            # from the pack that was actually uploaded (empty-pack collapse,
-            # dist mode and RAWHASH_TPU_NO_EMPTY_PACK all change the width)
+            # from the pack that was actually uploaded (the p_use ladder and
+            # dist mode change the width)
             pack = pending_inputs[1]
             width = st.a_cap + max((pack.shape[1] - 2) // 3, 0)
             return st.b_dev * width * self.mopt.max_chain_iter
 
-        _submit_chunk(self, st)  # chunk-1 (no carried anchors) program
+        _submit_chunk(self, st)  # the p_use=8 program (chunk 1 AND any
+        # later chunk whose carried-anchor width stays on the first ladder
+        # step — one signature covers both since the empty-pack special
+        # case was retired)
         out = st.pending
         np.asarray(out.scalars)  # blocks until the program is compiled + run
         if self.device_tail:
@@ -449,15 +456,6 @@ class MappingEngine:
             dummy_cells = _cells_of(st.pending_inputs)
             # the packed-anchor slice fetch compiles its own small program
             np.asarray(out.packed[:, : min(256, out.packed.shape[1]), :])
-            if not self._warmup_stop.is_set():
-                # pre-compile the with-carried-anchors variant too (chunks 2+)
-                st.pending = st.pending_slen = st.pending_spec = None
-                st.pending_inputs = None
-                st.n_prev[:] = 1
-                st.chunk_idx = 0
-                _submit_chunk(self, st)
-                np.asarray(st.pending.scalars)
-                dummy_cells += _cells_of(st.pending_inputs)
         # undo the work-accounting of the dummy dispatches (exact amounts, so
         # a warmup racing real batches does not erase their counts)
         with self._stats_lock:
@@ -542,6 +540,7 @@ class _BatchState:
         self.t_decided = np.zeros(b, dtype=np.float64)
         self.all_events = [[] for _ in range(b)]
         self.chunk_idx = 0
+        self.stage_prefix = ""  # "warmup:" for dummy batches
         self.pending = None  # in-flight ChunkOut
         self.pending_slen = None
         self.pending_spec = None  # speculative packed-prefix (async D2H)
@@ -694,7 +693,13 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
         with engine._stats_lock:
             engine.stats["hit_overflow"] += int(h_scal[rows, 4].sum())
         return {}
-    r_pad = _pow2_up(rows.size)
+    # two sub-batch sizes only (64 rows or the full batch): every distinct
+    # row count is a separate ~90 s cold compile on this backend, and the
+    # quarantine fires rarely enough that padding waste is irrelevant
+    r_pad = min(64, st.b_dev) if rows.size <= 64 else st.b_dev
+    if engine.dist is not None:
+        # sharded sub-batch must tile the (dp, shard) mesh exactly
+        r_pad = engine.dist.pad_batch(r_pad)
     rows_d = jnp.asarray(rows)
     sig_sub = np.zeros((r_pad,) + sig_dev.shape[1:], sig_dev.dtype)
     sig_sub[: rows.size] = sig_dev[rows]
@@ -852,7 +857,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     # stalls behind BENCH_r02's 4.8x device-tail regression
     hs = np.asarray(out.summaries)[: st.b]
     with engine._stats_lock:
-        engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
+        engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 
     c = st.chunk_idx
     now = time.perf_counter()
@@ -891,7 +896,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
             st.t_decided[i] = now
             st.active[i] = False
     with engine._stats_lock:
-        engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
+        engine.profiler.add(st.stage_prefix + "host_chain_tail", time.perf_counter() - t_host)
     st.chunk_idx += 1
 
 
@@ -921,7 +926,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         active_arr = np.zeros(st.b_dev, dtype=np.int32)
         active_arr[: st.b] = st.active
         out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
-        engine.profiler.add("submit", time.perf_counter() - t_sub)
+        engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
         try:
             out.scalars.copy_to_host_async()
             out.summaries.copy_to_host_async()
@@ -932,43 +937,35 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         st.pending_inputs = (sig_dev, slen, active_arr)
         return
     # single packed i32 upload: carried anchors + n_prev + slen (each
-    # separate H2D pays a tunnel round trip).  When no read carries any
-    # anchors (every batch's first chunk; on short-read workloads most
-    # cycles), the pack collapses to [B, 2] — decode_prev_pack reads it as
-    # p_cap = 0 — which skips a multi-MB zeros upload AND shrinks the
-    # merge/sort/fill width from a_cap + p_cap to a_cap.  The two pack
-    # shapes are two compiled signatures; warmup() pre-compiles both.
+    # separate H2D pays a tunnel round trip).  The pack uploads at the LIVE
+    # carried-anchor width on a coarse pow4 ladder {8, 32, 128, ...}, not at
+    # p_cap: the pack is O(B x 3*width) i32 riding a ~16 MB/s tunnel, and at
+    # ecoli/100 Mbp scale p_cap inflates to 4x a_cap while the widest live
+    # row is typically far narrower.  The device reads the width from the
+    # pack shape (decode_prev_pack) and the merge/sort/fill width shrinks
+    # from a_cap + p_cap to a_cap + width with identical results (slots past
+    # n_prev are masked either way).  The ladder is pow4 because every step
+    # is its own ~90 s cold XLA compile on this backend (persistent-cached
+    # across processes); width 8 also serves the no-carried-anchors chunks,
+    # so there is no separate empty-pack signature to pre-compile.  The dist
+    # path keeps p_cap: its shard_map program regrows whole-batch.
     import os as _os
 
-    if (
-        engine.dist is None
-        and not st.n_prev.any()
-        and not _os.environ.get("RAWHASH_TPU_NO_EMPTY_PACK")
-    ):
-        pack = np.zeros((st.b_dev, 2), dtype=np.int32)
-        pack[:, 1] = slen
+    if engine.dist is None and not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
+        p_use = 8
+        while p_use < int(st.n_prev.max()):
+            p_use *= 4
+        p_use = min(p_use, st.p_cap)
     else:
-        # upload at the LIVE carried-anchor width (pow2 ladder), not p_cap:
-        # the pack is O(B x 3*width) i32 riding a ~16 MB/s tunnel, and at
-        # ecoli/100 Mbp scale p_cap inflates to 4x a_cap while the widest
-        # live row is typically far narrower.  The device reads the width
-        # from the pack shape (decode_prev_pack), and the merge/sort/fill
-        # width shrinks from a_cap + p_cap to a_cap + width with identical
-        # results (slots past n_prev are masked either way).  The dist path
-        # keeps p_cap: its shard_map program is compiled per pack shape and
-        # regrowth there is whole-batch.
-        if engine.dist is None and not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
-            p_use = min(_pow2_up(max(int(st.n_prev.max()), 8)), st.p_cap)
-        else:
-            p_use = st.p_cap
-        pack = np.zeros((st.b_dev, 3 * p_use + 2), dtype=np.int32)
-        pack[: st.b, :p_use] = st.prev_key[:, :p_use].view(np.int32)
-        pack[: st.b, p_use : 2 * p_use] = st.prev_tpos[:, :p_use]
-        pack[: st.b, 2 * p_use : 3 * p_use] = st.prev_qpos[:, :p_use]
-        pack[: st.b, 3 * p_use] = st.n_prev
-        pack[:, 3 * p_use + 1] = slen
+        p_use = st.p_cap
+    pack = np.zeros((st.b_dev, 3 * p_use + 2), dtype=np.int32)
+    pack[: st.b, :p_use] = st.prev_key[:, :p_use].view(np.int32)
+    pack[: st.b, p_use : 2 * p_use] = st.prev_tpos[:, :p_use]
+    pack[: st.b, 2 * p_use : 3 * p_use] = st.prev_qpos[:, :p_use]
+    pack[: st.b, 3 * p_use] = st.n_prev
+    pack[:, 3 * p_use + 1] = slen
     out = _dispatch_step(engine, st, sig_dev, pack)
-    engine.profiler.add("submit", time.perf_counter() - t_sub)
+    engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
     # speculative prefix of the packed anchors sized from the last chunk's
     # live width.  Both ride the tunnel while other batches compute; the
@@ -1021,35 +1018,25 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # QUARANTINE: only the rows whose hits overflowed re-run, in a compact
     # grown sub-batch, so one repeat-heavy read does not multiply every
     # row's fill width and packed D2H (carry/ev_offset are committed after,
-    # so the rerun is exact).  The sharded engine keeps the whole-batch
-    # regrow (its shard_map program is one unit).
-    overrides = {}
-    cap_ceil = int(mo.max_anchor_cap)
+    # so the rerun is exact).  The sharded engine quarantines too, with the
+    # sub-batch padded to tile the (dp, shard) mesh.
     if trace:
         print(f"[trace] scalars: {time.perf_counter()-t_wait:.3f}s",
               flush=True)
     t_q = time.perf_counter()
-    if engine.dist is None:
-        overrides = _quarantine_overflow(engine, st, sig_dev, pack, h_scal)
-        if trace:
-            print(f"[trace] quarantine({len(overrides)} rows): "
-                  f"{time.perf_counter()-t_q:.3f}s", flush=True)
-    else:
-        while cap_ceil > 0:
-            need = int(h_scal[:, 4].max()) if h_scal.size else 0
-            if need <= 0 or st.a_cap >= cap_ceil:
-                break
-            total_need = st.a_cap + need
-            new_cap = 1 << int(np.ceil(np.log2(total_need)))
-            st.a_cap = min(max(new_cap, 2 * st.a_cap), cap_ceil)
-            st.wide = st.wide or (st.a_cap + st.p_cap >= (1 << 15))
-            with engine._stats_lock:
-                engine.stats["anchor_regrows"] = (
-                    engine.stats.get("anchor_regrows", 0) + 1
-                )
-            out = _dispatch_step(engine, st, sig_dev, pack)
-            spec = None
-            h_scal = np.asarray(out.scalars)[: st.b]
+    overrides = _quarantine_overflow(engine, st, sig_dev, pack, h_scal)
+    if trace:
+        print(f"[trace] quarantine({len(overrides)} rows): "
+              f"{time.perf_counter()-t_q:.3f}s", flush=True)
+    if engine.dist is not None and out.shard_hits is not None:
+        # per-shard work-balance observability: accumulate each device's
+        # locally-owned post-filter hit totals ((dp, shard) flattened)
+        sh = np.asarray(out.shard_hits).astype(np.int64)
+        with engine._stats_lock:
+            tot = engine.stats.get("shard_hits")
+            engine.stats["shard_hits"] = (
+                sh if tot is None else tot + sh
+            )
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     h_nanc = h_scal[:, 0]
@@ -1086,14 +1073,10 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
     h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
-    if engine.dist is not None:
-        # dist path: residual overflow after whole-batch growth
-        with engine._stats_lock:
-            engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
     if is_dtw:
         h_events = np.asarray(out.events)[: st.b].astype(np.float32)
     with engine._stats_lock:
-        engine.profiler.add("device+transfer", time.perf_counter() - t_wait)
+        engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 
     c = st.chunk_idx
     now = time.perf_counter()
@@ -1160,7 +1143,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             st.active[i] = False
             st.n_prev[i] = 0
     with engine._stats_lock:
-        engine.profiler.add("host_chain_tail", time.perf_counter() - t_host)
+        engine.profiler.add(st.stage_prefix + "host_chain_tail", time.perf_counter() - t_host)
     st.chunk_idx += 1
 
 

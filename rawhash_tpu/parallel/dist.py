@@ -165,10 +165,13 @@ def _sharded_lookup_expand(
     a_qpos = jnp.take_along_axis(qpos_seed, seed_c_l, axis=1) + ev_offset[:, None]
     a_key = ((hps & 1) << 31) | hid
     a_tpos = ((hps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    # per-device work-balance observable: seed hits owned by THIS shard
+    # (sum of its local post-filter counts over the whole gathered batch)
+    local_hits = jnp.sum(jnp.where(flt, 0, count_l)).astype(jnp.int32)
     return (
         a_key, a_tpos, a_qpos,
         sl(slot_valid), sl(n_hits), sl(jnp.maximum(n_hits_full - a_cap, 0)),
-        sl(flt),
+        sl(flt), local_hits,
     )
 
 
@@ -203,7 +206,7 @@ def _build_dist_step(mesh: Mesh, statics: tuple):
             )
         )
         ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
-        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow, flt = (
+        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow, flt, local_hits = (
             _sharded_lookup_expand(
                 keys, offsets, pos_id, pos_ps,
                 hashes, qpos_seed, seed_valid, ev_offset,
@@ -227,6 +230,7 @@ def _build_dist_step(mesh: Mesh, statics: tuple):
         return (
             out.packed, out.scalars, out.events,
             out.carry.sum, out.carry.sum_sq, out.carry.n, out.ev_offset,
+            local_hits[None],
         )
 
     mapped = jax.shard_map(
@@ -240,6 +244,7 @@ def _build_dist_step(mesh: Mesh, statics: tuple):
         out_specs=(
             P(("dp", "shard"), None, None), P(("dp", "shard"), None),
             P(("dp", "shard"), None), bspec, bspec, bspec, bspec,
+            P(("dp", "shard")),
         ),
         check_vma=False,
     )
@@ -284,7 +289,7 @@ class DistContext:
              **statics) -> ChunkOut:
         fn = _build_dist_step(self.mesh, tuple(sorted(statics.items())))
         put = lambda a, s: mp_put(a, s)
-        (packed, scalars, events, c_sum, c_sumsq, c_n, ev_off2) = fn(
+        (packed, scalars, events, c_sum, c_sumsq, c_n, ev_off2, shard_hits) = fn(
             self.keys, self.offsets, self.pos_id, self.pos_ps,
             put(sig, self.bspec2),
             put(carry.sum, self.bspec), put(carry.sum_sq, self.bspec),
@@ -295,4 +300,5 @@ class DistContext:
         return ChunkOut(
             packed=packed, scalars=scalars, events=events,
             carry=NormCarry(c_sum, c_sumsq, c_n), ev_offset=ev_off2,
+            shard_hits=shard_hits,
         )

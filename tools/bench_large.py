@@ -23,10 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_genome(mbp: float, repeat_rich: bool, rng) -> str:
+def make_genome(mbp: float, repeat_rich: bool, rng):
     n = int(mbp * 1_000_000)
     if not repeat_rich:
-        return "".join(rng.choice(list("ACGT"), size=n))
+        # vectorized bytes generation: a Gbp-scale "".join costs minutes and
+        # doubles peak memory; the index builder accepts bytes directly
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        return codes.choose(np.frombuffer(b"ACGT", dtype=np.uint8)).tobytes()
     # repeat-rich: 70% unique + a 2 kb unit tiled (with 1% mutations) over
     # the rest — stresses the occurrence filter and the growth-retry path
     uniq = rng.choice(list("ACGT"), size=int(n * 0.7))
@@ -52,6 +55,16 @@ def main():
     ap.add_argument("--reference", action="store_true",
                     help="also run the reference binary on the same workload")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--preset", default="sensitive",
+                    help="mapping preset (the reference maps D5 human with "
+                         "'fast', optionally -w 3: d5_human_na12878_r94/"
+                         "run_rawhash2.sh)")
+    ap.add_argument("--w", type=int, default=0,
+                    help="minimizer window override (reference human-scale "
+                         "runs use -w 3 to halve the seed table)")
+    ap.add_argument("--baseline-bps", type=float, default=0.0,
+                    help="reference 32-thread bp/s for vs_baseline "
+                         "(D4 8390, D5 human 1837; throughput.csv)")
     args = ap.parse_args()
 
     from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
@@ -69,7 +82,9 @@ def main():
     pore = synthetic_pore(k=6)
     iopt = IndexOptions()
     mopt = MapOptions()
-    set_preset("sensitive", iopt, mopt)
+    set_preset(args.preset, iopt, mopt)
+    if args.w:
+        iopt.w = args.w
     mopt.batch_reads = args.batch
 
     t0 = time.time()
@@ -126,6 +141,7 @@ def main():
 
     out = {
         "metric": f"large_genome_mapping_{args.mbp:g}mbp",
+        "preset": args.preset + (f"_w{args.w}" if args.w else ""),
         "repeat_rich": args.repeat_rich,
         "bps": round(bases / best, 1),
         "reads_per_s": round(args.reads / best, 2),
@@ -142,16 +158,23 @@ def main():
         "peak_rss_gb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2, 2
         ),
+        "n_seeds": int(index.n_seeds),
+        "hbm_table_bytes": int(
+            index.n_seeds * 8 + index.keys.shape[0] * 8
+        ),  # pos_id+pos_ps u32 pairs + keys u32 + offsets i32
         "stage_profile_s": {
             k: round(v, 2) for k, v in engine.profiler.totals.items()
         },
     }
+    if args.baseline_bps > 0:
+        out["baseline_bps"] = args.baseline_bps
+        out["vs_baseline"] = round(out["bps"] / args.baseline_bps, 4)
 
     if args.reference:
         import bench as _bench
 
         ref = _bench._reference_same_host_bps(
-            genome, pore, reads, mopt, "sensitive", timeout=3600
+            genome, pore, reads, mopt, args.preset, timeout=3600
         )
         if ref:
             out["reference_same_host_bps"] = round(ref, 1)
