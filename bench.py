@@ -163,6 +163,7 @@ def _throughput_workload(
         "mapped_frac": round(n_mapped / n_reads, 3),
         "accuracy": round(acc, 3),
         "warmup_s": round(t_warm, 1),
+        "warmup_detail": warmup_detail,
         "cell_updates_per_s": round(cells_best / dt, 0) if dt > 0 else 0,
         "stage_profile_s": profile,
         "regrows": engine.stats.get("anchor_regrows", 0),
@@ -343,6 +344,31 @@ def _ava_overlap_quality(n_reads=120, genome_len=60_000, read_len=1500,
     return out
 
 
+def _gbp_workload(budget_left_s: float):
+    """Human-scale (1 Gbp) mapping characterization via tools/bench_large.py
+    in a subprocess (isolates the primary metric from OOM/timeout at this
+    scale).  Mirrors the reference's D5 human configuration: preset 'fast'
+    with -w 3 minimizers (test/evaluation/read_mapping/d5_human_na12878_r94/
+    run_rawhash2.sh); baseline 1,837 bp/s on 32 CPU threads
+    (test/figures/throughput/throughput.csv:14)."""
+    import json as _json
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, "-u", os.path.join(repo, "tools", "bench_large.py"),
+         "--mbp", "1000", "--reads", "128", "--batch", "128",
+         "--preset", "fast", "--w", "3", "--passes", "2",
+         "--baseline-bps", "1837"],
+        capture_output=True, text=True, timeout=max(budget_left_s, 600),
+    )
+    for line in r.stderr.splitlines():
+        print(f"# [gbp1] {line}", file=sys.stderr)
+    if r.returncode != 0:
+        raise RuntimeError(f"bench_large rc={r.returncode}: {r.stderr[-300:]}")
+    return _json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     t_start = time.time()
     cache_dir = os.environ.get(
@@ -364,9 +390,9 @@ def main():
     # fresh program's first execution for many minutes, and the primary
     # viral metric must never be lost to an extra workload's failure or to
     # the harness's overall time budget
-    budget_s = float(os.environ.get("RAWHASH_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("RAWHASH_BENCH_BUDGET_S", "3600"))
     skip_extra = os.environ.get("RAWHASH_BENCH_QUICK")
-    ecoli = ava = None
+    ecoli = ava = gbp1 = None
     if not skip_extra and time.time() - t_start < budget_s:
         try:
             ecoli = _throughput_workload(
@@ -377,7 +403,15 @@ def main():
             )
         except Exception as e:
             print(f"# [ecoli] failed: {e}", file=sys.stderr)
-    if not skip_extra and time.time() - t_start < budget_s:
+    # human-scale 1 Gbp characterization: the most expensive stage (genome
+    # gen + native index build + cold-or-cached warmup), so it only runs
+    # when at least 20 minutes of budget remain
+    if not skip_extra and time.time() - t_start < budget_s - 1200:
+        try:
+            gbp1 = _gbp_workload(budget_s - (time.time() - t_start) - 120)
+        except Exception as e:
+            print(f"# [gbp1] failed: {e}", file=sys.stderr)
+    if not skip_extra and time.time() - t_start < budget_s - 300:
         try:
             ava = _ava_overlap_quality()
         except Exception as e:
@@ -401,6 +435,8 @@ def main():
             result[k] = viral[k]
     if ecoli:
         result["ecoli_5mbp"] = ecoli
+    if gbp1:
+        result["gbp1_human_scale"] = gbp1
     if ava:
         result["ava_overlap"] = ava
     print(json.dumps(result))

@@ -136,3 +136,55 @@ def test_dist_step_runs_all_vs_all(workload):
         for rec in recs:
             if rec[8]:
                 assert order[sig_index.seq_names[rec[1]]] > order[name]
+
+
+def test_sharded_engine_growth_retry_parity(workload):
+    """Overflowed rows in the SHARDED engine quarantine exactly like the
+    single-device engine: a tiny initial anchor capacity forces the growth
+    path (regrows > 0), hits are never silently truncated, and the PAF still
+    matches the single-device engine on the same squeezed capacity
+    (round-3 VERDICT item 7)."""
+    from rawhash_tpu.map.engine import MappingEngine
+
+    w_index, reads = workload
+
+    def run(n_shards):
+        mopt = MapOptions()
+        mopt.n_shards = n_shards
+        # squeeze: force per-chunk hit overflow so the quarantine fires
+        mopt.max_anchors_per_read = 128
+        mopt.max_anchor_cap = 1 << 14
+        eng = MappingEngine(w_index, mopt)
+        res = eng.map_batch(list(reads))
+        return eng, [
+            (r.name, [_strip_mt(m) for m in r.records]) for r in res
+        ]
+
+    eng1, single = run(0)
+    assert eng1.stats.get("anchor_regrows", 0) > 0, (
+        "workload must exercise the growth path"
+    )
+    assert eng1.stats.get("hit_overflow", 0) == 0, "hits were truncated"
+    eng2, sharded = run(2)
+    assert eng2.stats.get("anchor_regrows", 0) > 0
+    assert eng2.stats.get("hit_overflow", 0) == 0
+    assert sharded == single
+
+
+def test_sharded_engine_shard_hits_observable(workload):
+    """The sharded engine reports per-device locally-owned hit totals
+    (work-balance observability): present, int64, n_devices-long, total > 0,
+    and every shard column owns a nonzero share on a uniform genome."""
+    from rawhash_tpu.map.engine import MappingEngine
+
+    w_index, reads = workload
+    mopt = MapOptions()
+    mopt.n_shards = 4
+    eng = MappingEngine(w_index, mopt)
+    eng.map_batch(list(reads))
+    sh = eng.stats.get("shard_hits")
+    assert sh is not None and sh.shape[0] == eng.dist.n_devices
+    assert sh.sum() > 0
+    n_sh = eng.dist.mesh.shape["shard"]
+    per_shard = sh.reshape(-1, n_sh).sum(axis=0)
+    assert (per_shard > 0).all(), f"unbalanced shard ownership: {per_shard}"

@@ -61,17 +61,9 @@ def synth_anchors(rng, n_max=384):
     return key, a[:, 0].astype(np.int64), a[:, 1].astype(np.int64)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cases", type=int, default=1000)
-    ap.add_argument("--seed", type=int, default=3)
-    ap.add_argument("--max-skip", type=int, default=5)
-    ap.add_argument("--max-iter", type=int, default=64)
-    args = ap.parse_args()
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+def run_sweep(cases: int, seed: int = 3, max_skip: int = 5,
+              max_iter: int = 64) -> dict:
+    """Core sweep, importable by tests (tests/test_chain_maxskip.py)."""
     import jax.numpy as jnp
 
     from rawhash_tpu.chain.device import chain_fill_batch
@@ -84,19 +76,19 @@ def main():
     span, bw, max_dist = 6, 500, 2000
     pen_gap = 0.12 * span
     pen_skip = 0.0
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(seed)
 
     n_diff_loc = n_diff_score = n_cases_chain = 0
     score_deltas = []
     f_deltas = []
-    for _case in range(args.cases):
+    for _case in range(cases):
         key, tpos, qpos = synth_anchors(rng)
         n = key.shape[0]
         ax = (key << np.uint64(32)) | tpos.astype(np.uint64)
         ay = (np.uint64(span) << np.uint64(32)) | qpos.astype(np.uint64)
 
         f_h, p_h = lchain_dp_fill_np(
-            ax, ay, max_dist, max_dist, bw, args.max_skip, args.max_iter,
+            ax, ay, max_dist, max_dist, bw, max_skip, max_iter,
             pen_gap, pen_skip,
         )
         f_d, p_d = chain_fill_batch(
@@ -105,7 +97,7 @@ def main():
             jnp.asarray(qpos[None].astype(np.int32)),
             jnp.asarray([n], dtype=jnp.int32),
             q_span=span, max_dist_t=max_dist, max_dist_q=max_dist,
-            bw=bw, max_iter=args.max_iter,
+            bw=bw, max_iter=max_iter,
             chn_pen_gap=pen_gap, chn_pen_skip=pen_skip,
         )
         f_d = np.asarray(f_d)[0][:n]
@@ -143,8 +135,8 @@ def main():
             n_diff_score += 1
             score_deltas.append(sc_d - sc_h)
 
-    out = {
-        "cases": args.cases,
+    return {
+        "cases": cases,
         "cases_with_chains": n_cases_chain,
         "primary_location_diff": n_diff_loc,
         "primary_score_diff": n_diff_score,
@@ -157,8 +149,22 @@ def main():
             "max": max(score_deltas) if score_deltas else 0,
             "mean": round(float(np.mean(score_deltas)), 2) if score_deltas else 0.0,
         },
-        "max_skip": args.max_skip,
+        "max_skip": max_skip,
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--max-skip", type=int, default=5)
+    ap.add_argument("--max-iter", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    out = run_sweep(args.cases, args.seed, args.max_skip, args.max_iter)
     print(json.dumps(out))
 
 
