@@ -627,6 +627,19 @@ def chunk_step_tail(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ncut",))
+def gather_rows_prefix(packed: jnp.ndarray, rows: jnp.ndarray, *, ncut: int):
+    """Row-sliced prefix of the packed-anchor buffer: packed[rows, :ncut].
+
+    The straggler D2H killer: late chunks of a batch have only a handful of
+    live reads, but a full-buffer fetch still moves b_dev * ncut * words
+    bytes over the ~16 MB/s tunnel.  `rows` is a TRACED argument (padded to
+    a pow2 ladder), so one compiled program per (ncut, n_rows) signature
+    serves every straggler pattern."""
+    return packed[rows, :ncut, :]
+
+
 # AOT-memoized entries used by the engine (see AotMemo docstring)
 chunk_step_aot = AotMemo(chunk_step)
 chunk_step_tail_aot = AotMemo(chunk_step_tail)
+gather_rows_aot = AotMemo(gather_rows_prefix)

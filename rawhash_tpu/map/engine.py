@@ -166,6 +166,13 @@ class MappingEngine:
         # from the previous chunk's live width; 0 = first chunk, exact fetch)
         self._spec_ncut = 0
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
+        # observed per-chunk anchor watermark (hits + overflow), fed back
+        # into _plan: the static occupancy model overestimates by >10x at
+        # 100 Mbp (expected 174k vs observed <16k), and a budget-clamped
+        # a_cap below the true need made EVERY chunk quarantine-redispatch
+        # the whole batch (~30 s/chunk at 100 Mbp).  Observation beats the
+        # model from the first chunk onward.
+        self._learned_need = 0
         # device-tail mode (opt-in): backtrack + compaction run on-device and
         # only per-chain summaries leave the device (O(chains) D2H instead of
         # O(anchors)); carried anchors stay device-resident.  Measured 4.8x
@@ -379,11 +386,20 @@ class MappingEngine:
             max_chunk = int(mo.max_num_chunk)
             e_cap = mo.max_events_per_chunk
             # expected hits/chunk = seeds/chunk x position-weighted mean
-            # occupancy, + 4 sigma of the sum for repeat-tail headroom
-            mu, sigma = self._occ_stats()
-            expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
+            # occupancy, + 4 sigma of the sum for repeat-tail headroom.
+            # Once any chunk has actually run, the OBSERVED watermark
+            # (n_anchors + overflow, tracked in _process_chunk) replaces the
+            # model with 25% headroom: the model overestimates by >10x at
+            # 100 Mbp scale, and an undersized a_cap makes every chunk pay a
+            # whole-batch quarantine re-dispatch
+            learned = self._learned_need
             total = mo.max_anchors_per_read
-            a_cap = min(_pow2_up(max(512, expected)), _pow2_up(total) // 2)
+            if learned > 0:
+                a_cap = _pow2_up(max(512, int(learned * 1.25)))
+            else:
+                mu, sigma = self._occ_stats()
+                expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
+                a_cap = min(_pow2_up(max(512, expected)), _pow2_up(total) // 2)
             a_cap = min(a_cap, int(mo.max_anchor_cap) or 32000)
             # total is a BUDGET, not a target: the initial carried-anchor
             # width starts at <= 4x the per-chunk hit capacity (carried
@@ -545,6 +561,8 @@ class _BatchState:
         self.pending_slen = None
         self.pending_spec = None  # speculative packed-prefix (async D2H)
         self.pending_inputs = None  # (sig_dev, pack) kept for overflow retry
+        self.pending_rows = None  # straggler row-slice (None = full frame)
+        self.pending_rows_pad = None
         # device-tail state: carried anchors live on device between chunks
         self.prev_dev = None  # (key u32, tpos i32, qpos i32, n_prev i32)
         self.k_cap = 64  # per-read chain-summary capacity (grows on overflow)
@@ -745,6 +763,14 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     # unresolved residue past the hard cap stays counted as overflow
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(scal[:, 4].sum())
+        engine._learned_need = max(engine._learned_need, nmax)
+    if rows.size > st.b // 4 and sub_a > st.a_cap:
+        # a quarter of the batch overflowed: the main program is undersized
+        # for this workload, so later chunks of THIS batch dispatch at the
+        # converged capacity instead of re-quarantining everything (observed
+        # ~30 s/chunk at 100 Mbp when every chunk re-ran the whole batch)
+        st.a_cap = sub_a
+        st.wide = st.wide or (st.a_cap + st.p_cap >= (1 << 15))
     return {
         int(row): (key[j], tpos[j], qpos[j], f[j], p[j], int(scal[j, 0]))
         for j, row in enumerate(rows)
@@ -975,10 +1001,38 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         out.scalars.copy_to_host_async()
     except Exception:
         pass
+    # straggler row-slicing: late chunks of a batch keep only a few reads
+    # alive, but a full-buffer fetch still moves b_dev * ncut * words bytes.
+    # When the live rows fit a {64,128,...} ladder step below b_dev, fetch
+    # packed[rows, :w] via a gather program (rows is a TRACED argument, so
+    # the ladder bounds the signature count).  DTW mode keeps the full
+    # fetch (its events buffer is full-frame anyway).
+    rows = np.nonzero(slen[: st.b] > 0)[0]
+    # ladder base 64 (env override exists so tests can exercise the sliced
+    # path on tiny CPU batches)
+    r_lad = int(_os.environ.get("RAWHASH_TPU_ROW_LADDER_BASE", "64"))
+    while r_lad < rows.size:
+        r_lad *= 2
+    st.pending_rows = None
+    if (
+        engine.dist is None
+        and not (mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
+        and r_lad < st.b_dev
+    ):
+        st.pending_rows = rows
+        st.pending_rows_pad = np.zeros(r_lad, dtype=np.int32)
+        st.pending_rows_pad[: rows.size] = rows
     spec = None
     spec_w = min(engine._spec_ncut, out.packed.shape[1])
     if spec_w >= 128:
-        spec = out.packed[:, :spec_w, :]
+        from .device_step import gather_rows_aot
+
+        if st.pending_rows is not None:
+            spec = gather_rows_aot(
+                out.packed, jnp.asarray(st.pending_rows_pad), ncut=spec_w
+            )
+        else:
+            spec = out.packed[:, :spec_w, :]
         try:
             spec.copy_to_host_async()
         except Exception:
@@ -1000,8 +1054,10 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     slen = st.pending_slen
     spec = st.pending_spec
     sig_dev, pack = st.pending_inputs
+    fetch_rows = st.pending_rows  # straggler row-slice (None = full frame)
+    fetch_rows_pad = st.pending_rows_pad
     st.pending = st.pending_slen = st.pending_spec = None
-    st.pending_inputs = None
+    st.pending_inputs = st.pending_rows = st.pending_rows_pad = None
     t_wait = time.perf_counter()
     import os as _os
 
@@ -1059,9 +1115,24 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # count at log2(n)
     ncut = min(ncols, max(128, _pow2_up(nmax)))
     if spec is not None and spec.shape[1] >= ncut:
-        hp = np.asarray(spec)[: st.b, :ncut, :]
+        hp = np.asarray(spec)[:, :ncut, :]
+        if fetch_rows is None:
+            hp = hp[: st.b]
+    elif fetch_rows is not None:
+        import jax.numpy as jnp
+
+        from .device_step import gather_rows_aot
+
+        hp = np.asarray(
+            gather_rows_aot(out.packed, jnp.asarray(fetch_rows_pad), ncut=ncut)
+        )
     else:
         hp = np.asarray(out.packed[:, :ncut, :])[: st.b]
+    # packed-derived planes index by fetch position when row-sliced
+    pos_of = (
+        None if fetch_rows is None
+        else {int(r): j for j, r in enumerate(fetch_rows)}
+    )
     # next chunk's speculative width: this chunk's pow2 fetch width (chunk-
     # to-chunk widths are stable, so the prefix usually covers; when it
     # falls short the exact-width fallback costs one extra sync fetch).
@@ -1082,6 +1153,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     now = time.perf_counter()
     t_host = now
     pending = []  # (i, regs, chain_axy) awaiting DTW + decision
+    wm_max = 0  # observed anchor watermark feeding _plan's learned sizing
     for i in range(st.b):
         if not st.active[i]:
             continue
@@ -1100,9 +1172,14 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         if ov is not None:  # quarantined row: grown-capacity rerun results
             k_i, t_i, q_i, f_i, p_i, n_i = ov
         else:
+            hj = i if pos_of is None else pos_of[i]
             k_i, t_i, q_i, f_i, p_i, n_i = (
-                h_key[i], h_tpos[i], h_qpos[i], h_f[i], h_p[i], h_nanc[i]
+                h_key[hj], h_tpos[hj], h_qpos[hj], h_f[hj], h_p[hj], h_nanc[i]
             )
+        wm_max = max(
+            wm_max,
+            int(n_i) + (0 if ov is not None else int(h_scal[i, 4])),
+        )
         regs, chain_axy, (px, py) = engine._chunk_tail(
             k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[i]),
         )
@@ -1144,6 +1221,8 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             st.n_prev[i] = 0
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "host_chain_tail", time.perf_counter() - t_host)
+        if st.stage_prefix == "" and wm_max > engine._learned_need:
+            engine._learned_need = wm_max
     st.chunk_idx += 1
 
 

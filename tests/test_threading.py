@@ -108,3 +108,50 @@ def test_warmup_concurrent_with_mapping(setup):
         for res in out
     ]
     assert got == serial
+
+
+def test_row_sliced_fetch_paf_identical(monkeypatch):
+    """Straggler row-sliced packed fetch (packed[rows, :ncut] gather) must
+    produce byte-identical results to the full-frame fetch.  The ladder base
+    drops to 2 so a tiny CPU batch with early-deciding reads exercises the
+    sliced path on chunks where most rows are done."""
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGT"), size=9000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=8, read_len=700, rng=rng)
+    # half the reads get a noise prefix so they stay active into later
+    # chunks while the clean half decides on chunk 1 -> row slicing kicks in
+    batch = []
+    for i, (n, s, _, _) in enumerate(reads):
+        if i % 2 == 0:
+            s = np.concatenate(
+                [rng.normal(90.0, 9.0, 6000).astype(np.float32), s]
+            )
+        batch.append((n, s))
+
+    def run():
+        eng = MappingEngine(index, MapOptions())
+        out = eng.map_batch(list(batch))
+        return [
+            (r.name, [
+                (m.read_length, m.ref_id, m.read_start, m.read_end,
+                 m.frag_start, m.frag_len, m.mapq, m.rev, m.mapped)
+                for m in r.records
+            ])
+            for r in out
+        ]
+
+    monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "2")
+    sliced = run()
+    monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "1024")
+    full = run()
+    assert sliced == full
