@@ -151,3 +151,93 @@ def load_ref_index(path: str) -> RawIndex:
         F=F,
         R=R,
     )
+
+
+def dump_ref_index(path: str, index: RawIndex) -> None:
+    """Write a RawIndex as the reference binary .ind format, loadable by the
+    reference rawhash2 binary (inverse of load_ref_index; format:
+    ri_idx_dump, rindex.c:545-648).
+
+    Bucket reconstruction mirrors worker_post (rindex.c:315-345): seed hash
+    H lands in bucket H & (2^b - 1) under khash key (H >> b) << 1, bit 0 set
+    for singletons; singleton values hold the position word directly,
+    multi-entry values hold (start << 32 | count) into the bucket's p[]
+    array, whose runs keep the CSR's y-sorted order."""
+    o = index.opts
+    b = int(getattr(o, "b", 14) or 14)
+    pore = index.pore
+    sig_target = bool(index.sig_target)
+    store_sig = index.F is not None
+    no_rev = bool(o.flag & IndexFlag.NO_REV_TARGET)
+
+    out = bytearray()
+    out += _MAGIC
+    out += struct.pack(
+        "<7I", o.w, o.e, o.n, o.q, o.k, len(index.seq_names), int(o.flag)
+    )
+    out += struct.pack(
+        "<4f", o.diff, o.fine_min, o.fine_max, o.fine_range
+    )
+    # ri_pore_t raw struct (32 bytes): two dead pointers, n_pore_vals,
+    # k (i16 + 2 pad), max_val, min_val (the loader replaces the pointers)
+    if pore is not None:
+        vals = np.asarray(pore.pore_vals, np.float32)
+        out += struct.pack(
+            "<QQIhxxff", 0, 0, vals.shape[0], pore.k,
+            float(vals.max()), float(vals.min()),
+        )
+        out += vals.tobytes()
+        sv, si, sr = pore.sorted_pairs()
+        inds = np.zeros(vals.shape[0], dtype=[("v", "<f4"), ("i", "<u4"), ("r", "<u4")])
+        inds["v"], inds["i"], inds["r"] = sv, si, sr
+        out += inds.tobytes()
+    else:
+        out += struct.pack("<QQIhxxff", 0, 0, 0, o.k, 0.0, 0.0)
+
+    for i, name in enumerate(index.seq_names):
+        nb = name.encode()[:255]
+        out += struct.pack("<B", len(nb)) + nb
+        out += struct.pack("<I", int(index.seq_lens[i]))
+        if store_sig:
+            f = np.asarray(index.F[i], np.float32)
+            out += struct.pack("<I", f.shape[0]) + f.tobytes()
+            if not no_rev:
+                r = np.asarray(index.R[i], np.float32)
+                out += struct.pack("<I", r.shape[0]) + r.tobytes()
+
+    keys = index.keys.astype(np.uint64)
+    counts = (index.offsets[1:] - index.offsets[:-1]).astype(np.int64)
+    starts = index.offsets[:-1].astype(np.int64)
+    bucket_of = (keys & np.uint64((1 << b) - 1)).astype(np.int64)
+    khkey = ((keys >> np.uint64(b)) << np.uint64(1)) | (counts == 1).astype(
+        np.uint64
+    )
+    order = np.argsort(bucket_of, kind="stable")
+    bounds = np.searchsorted(bucket_of[order], np.arange((1 << b) + 1))
+    for bu in range(1 << b):
+        sel = order[bounds[bu] : bounds[bu + 1]]
+        multi = sel[counts[sel] > 1]
+        # p[]: concatenated multi-key runs in this bucket (y-sorted runs)
+        runs = [index.pos[starts[j] : starts[j] + counts[j]] for j in multi]
+        p = np.concatenate(runs) if runs else np.zeros(0, np.uint64)
+        out += struct.pack("<I", p.shape[0])
+        out += p.astype("<u8").tobytes()
+        out += struct.pack("<I", sel.shape[0])
+        if sel.shape[0] == 0:
+            continue
+        run_start = 0
+        mpos = {int(j): None for j in multi}
+        for j in multi:
+            mpos[int(j)] = run_start
+            run_start += int(counts[j])
+        for j in sel:
+            if counts[j] == 1:
+                v = np.uint64(index.pos[starts[j]])
+            else:
+                v = (np.uint64(mpos[int(j)]) << np.uint64(32)) | np.uint64(
+                    counts[j]
+                )
+            out += struct.pack("<QQ", int(khkey[j]), int(v))
+
+    with open(path, "wb") as fp:
+        fp.write(bytes(out))

@@ -635,8 +635,13 @@ def gather_rows_prefix(packed: jnp.ndarray, rows: jnp.ndarray, *, ncut: int):
     live reads, but a full-buffer fetch still moves b_dev * ncut * words
     bytes over the ~16 MB/s tunnel.  `rows` is a TRACED argument (padded to
     a pow2 ladder), so one compiled program per (ncut, n_rows) signature
-    serves every straggler pattern."""
-    return packed[rows, :ncut, :]
+    serves every straggler pattern.
+
+    Formulated as slice-then-take: the advanced-indexing form
+    packed[rows, :ncut] lowered to a gather the TPU compiler tried to
+    materialize as an 18 GB buffer (observed OOM at compile)."""
+    prefix = jax.lax.slice_in_dim(packed, 0, ncut, axis=1)
+    return jnp.take(prefix, rows, axis=0)
 
 
 # AOT-memoized entries used by the engine (see AotMemo docstring)

@@ -147,7 +147,15 @@ def run_pipeline(args, iopt, mopt, t0: float) -> int:
             )
         log(f"built index: {index.n_seq} target(s), {index.n_seeds} seeds")
         if args.dump_index:
-            save_index(args.dump_index, index)
+            if args.dump_index.endswith(".ind"):
+                # reference binary .ind interchange: the dumped artifact is
+                # loadable by the reference rawhash2 binary (ri_idx_load,
+                # rindex.c:650-776) with identical PAF output
+                from ..index.ref_ind import dump_ref_index
+
+                dump_ref_index(args.dump_index, index)
+            else:
+                save_index(args.dump_index, index)
             log(f"index dumped to {args.dump_index}")
     if not args.query:
         if not args.dump_index and not is_index_file(args.target):

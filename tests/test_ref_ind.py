@@ -148,3 +148,63 @@ def test_ref_ind_store_sig(workdir):
     assert idx.R is not None and len(idx.R) == 1
     assert idx.F[0].shape[0] > 0 and idx.R[0].shape[0] > 0
     assert idx.F[0].dtype == np.float32
+
+
+def test_dump_ref_ind_roundtrip(workdir):
+    """dump_ref_index -> load_ref_index is bit-exact on keys/offsets/pos,
+    pore table and metadata (write side of the interchange,
+    ri_idx_dump/ri_idx_load, rindex.c:545-776)."""
+    from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.index.ref_ind import (
+        dump_ref_index,
+        is_ref_index,
+        load_ref_index,
+    )
+
+    d, genome, pore = workdir
+    iopt = IndexOptions()
+    set_preset("sensitive", iopt, MapOptions())
+    ours = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    path = str(d / "ours.ind")
+    dump_ref_index(path, ours)
+    assert is_ref_index(path)
+    back = load_ref_index(path)
+    np.testing.assert_array_equal(ours.keys, back.keys)
+    np.testing.assert_array_equal(ours.offsets, back.offsets)
+    np.testing.assert_array_equal(ours.pos, back.pos)
+    np.testing.assert_allclose(ours.pore.pore_vals, back.pore.pore_vals)
+    assert back.seq_names == ours.seq_names
+    assert int(back.seq_lens[0]) == len(genome)
+    assert int(back.opts.flag) == int(ours.opts.flag)
+
+
+@pytest.mark.skipif(REF_BIN is None, reason="reference binary unavailable")
+def test_reference_binary_maps_from_our_dumped_ind(workdir):
+    """GOLD interchange test: the reference rawhash2 BINARY loads an .ind
+    dumped by dump_ref_index and emits the same PAF as with its own index
+    built from the identical FASTA + pore model."""
+    from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.index.ref_ind import dump_ref_index
+
+    d, genome, pore = workdir
+    _build_ref_ind(d)
+    iopt = IndexOptions()
+    set_preset("sensitive", iopt, MapOptions())
+    ours = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    dump_ref_index(str(d / "ours.ind"), ours)
+
+    def run(ind):
+        r = subprocess.run(
+            [REF_BIN, "-x", "sensitive", "-t", "1", ind, "reads.slow5"],
+            capture_output=True, text=True, cwd=d, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        # strip the wall-clock mt:f: tag
+        return [
+            "\t".join(c for c in l.split("\t") if not c.startswith("mt:f:"))
+            for l in r.stdout.splitlines()
+        ]
+
+    assert run("ours.ind") == run("ref.ind")
