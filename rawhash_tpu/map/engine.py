@@ -395,7 +395,9 @@ class MappingEngine:
             learned = self._learned_need
             total = mo.max_anchors_per_read
             if learned > 0:
-                a_cap = _pow2_up(max(512, int(learned * 1.25)))
+                # pow2 snap already grants 0-100% headroom over the p95
+                # watermark; residual outliers go through the quarantine
+                a_cap = _pow2_up(max(512, learned))
             else:
                 mu, sigma = self._occ_stats()
                 expected = int(e_cap * mu + 4.0 * np.sqrt(e_cap) * sigma)
@@ -408,7 +410,10 @@ class MappingEngine:
             # inflate every chunk's sort/fill width up front (a 16k budget
             # cost 3.4x the device work of the occupancy-sized width on the
             # 5 Mbp bench)
-            p_cap = _pow2_up(max(min(total - a_cap, 4 * a_cap), 8))
+            # floor 64: when a learned a_cap meets or exceeds the budget the
+            # subtraction collapses, but carried anchors still need room
+            # (grow_prev covers the data-driven rest)
+            p_cap = _pow2_up(max(min(total - a_cap, 4 * a_cap), 64))
         return l_chunk, max_chunk, e_cap, a_cap, p_cap
 
     def warmup(self, batch_size: int | None = None) -> float:
@@ -760,10 +765,13 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     ncut = min(out.packed.shape[1], max(128, _pow2_up(nmax)))
     hp = np.asarray(out.packed[:, :ncut, :])[: rows.size]
     key, tpos, qpos, f, p = _decode_packed(engine, hp)
-    # unresolved residue past the hard cap stays counted as overflow
+    # unresolved residue past the hard cap stays counted as overflow.
+    # NOTE: quarantined rows do NOT feed _learned_need — one junk read with
+    # 100k+ repeat hits must not drag every batch's main program to its
+    # width (observed: a_cap ballooned to 131072 and the per-chunk fetch to
+    # 168 MB when the max, not a quantile, was learned)
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(scal[:, 4].sum())
-        engine._learned_need = max(engine._learned_need, nmax)
     if rows.size > st.b // 4 and sub_a > st.a_cap:
         # a quarter of the batch overflowed: the main program is undersized
         # for this workload, so later chunks of THIS batch dispatch at the
@@ -1153,7 +1161,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     now = time.perf_counter()
     t_host = now
     pending = []  # (i, regs, chain_axy) awaiting DTW + decision
-    wm_max = 0  # observed anchor watermark feeding _plan's learned sizing
+    wms = []  # per-read anchor watermarks feeding _plan's learned sizing
     for i in range(st.b):
         if not st.active[i]:
             continue
@@ -1176,10 +1184,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             k_i, t_i, q_i, f_i, p_i, n_i = (
                 h_key[hj], h_tpos[hj], h_qpos[hj], h_f[hj], h_p[hj], h_nanc[i]
             )
-        wm_max = max(
-            wm_max,
-            int(n_i) + (0 if ov is not None else int(h_scal[i, 4])),
-        )
+        wms.append(int(n_i) + (0 if ov is not None else int(h_scal[i, 4])))
         regs, chain_axy, (px, py) = engine._chunk_tail(
             k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[i]),
         )
@@ -1221,8 +1226,14 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             st.n_prev[i] = 0
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "host_chain_tail", time.perf_counter() - t_host)
-        if st.stage_prefix == "" and wm_max > engine._learned_need:
-            engine._learned_need = wm_max
+        if st.stage_prefix == "" and wms:
+            # 95th percentile, not the max: the main program should fit the
+            # TYPICAL read; tail outliers stay in the quarantine path, whose
+            # 64-row sub-batch costs far less than widening every row's
+            # sort/fill/fetch
+            wm = int(np.quantile(np.asarray(wms), 0.95))
+            if wm > engine._learned_need:
+                engine._learned_need = wm
     st.chunk_idx += 1
 
 
