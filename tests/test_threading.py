@@ -155,3 +155,58 @@ def test_row_sliced_fetch_paf_identical(monkeypatch):
     monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "1024")
     full = run()
     assert sliced == full
+
+
+def test_concurrent_map_batch_same_engine():
+    """Two threads mapping DIFFERENT batches through the SAME engine must
+    produce the same records as sequential runs (the engine's shared state —
+    stats dict, profiler, AotMemo caches, learned capacity, speculative
+    width — is lock-protected or benign-racy by design; this pins it)."""
+    import threading
+
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(33)
+    genome = "".join(rng.choice(list("ACGT"), size=8000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=16, read_len=600, rng=rng)
+    b1 = [(n, s) for n, s, _, _ in reads[:8]]
+    b2 = [(n, s) for n, s, _, _ in reads[8:]]
+
+    def snap(res):
+        return [
+            (r.name, [(m.ref_id, m.frag_start, m.mapq, m.rev, m.mapped)
+                      for m in r.records])
+            for r in res
+        ]
+
+    eng_seq = MappingEngine(index, MapOptions())
+    want1, want2 = snap(eng_seq.map_batch(b1)), snap(eng_seq.map_batch(b2))
+
+    eng = MappingEngine(index, MapOptions())
+    got = {}
+    errs = []
+
+    def run(key, batch):
+        try:
+            got[key] = snap(eng.map_batch(batch))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=("b1", b1)),
+          threading.Thread(target=run, args=("b2", b2))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert not errs, errs
+    assert got["b1"] == want1 and got["b2"] == want2
+    # shared counters land the same totals as the sequential engine
+    assert eng.stats["reads"] == eng_seq.stats["reads"] == 16
