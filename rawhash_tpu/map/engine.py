@@ -167,12 +167,17 @@ class MappingEngine:
         self._spec_ncut = 0
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
         # observed per-chunk anchor watermark (hits + overflow), fed back
-        # into _plan: the static occupancy model overestimates by >10x at
-        # 100 Mbp (expected 174k vs observed <16k), and a budget-clamped
-        # a_cap below the true need made EVERY chunk quarantine-redispatch
-        # the whole batch (~30 s/chunk at 100 Mbp).  Observation beats the
-        # model from the first chunk onward.
+        # into _plan: the static occupancy model misestimates grossly at
+        # scale, and a budget-clamped a_cap below the true need made EVERY
+        # chunk quarantine-redispatch the whole batch (~30 s/chunk at
+        # 100 Mbp).  Observation beats the model from the first chunk on.
         self._learned_need = 0
+        # device-tail capacity feedback: the tail's growth loop re-runs the
+        # WHOLE batch per grown capacity, and (k_cap, p_cap) reset per batch
+        # made every pass pay 2-3 full re-dispatches; converged values carry
+        # across batches here
+        self._learned_kcap = 0
+        self._learned_pcap = 0
         # device-tail mode (opt-in): backtrack + compaction run on-device and
         # only per-chain summaries leave the device (O(chains) D2H instead of
         # O(anchors)); carried anchors stay device-resident.  Measured 4.8x
@@ -570,7 +575,11 @@ class _BatchState:
         self.pending_rows_pad = None
         # device-tail state: carried anchors live on device between chunks
         self.prev_dev = None  # (key u32, tpos i32, qpos i32, n_prev i32)
-        self.k_cap = 64  # per-read chain-summary capacity (grows on overflow)
+        # per-read chain-summary capacity (grows on overflow; engine-level
+        # feedback seeds it at the previously converged width)
+        self.k_cap = max(64, engine._learned_kcap)
+        if engine.device_tail and engine._learned_pcap > self.p_cap:
+            self.p_cap = engine._learned_pcap
         # wide i32 packing whenever anchor indices or event offsets can
         # exceed the int16 range (the narrow layout halves D2H bytes)
         self.wide = (self.a_cap + self.p_cap >= (1 << 15)) or (
@@ -870,6 +879,16 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
             )
         out = _dispatch_step_tail(engine, st, sig_dev, slen_arr, active_arr)
         h_scal = np.asarray(out.scalars)[: st.b]
+    # feed the converged capacities back so the NEXT batch starts there
+    # instead of re-growing the whole batch every pass (tail growth is
+    # whole-batch: 2-3 extra full dispatches per chunk observed at 100 Mbp)
+    with engine._stats_lock:
+        if st.a_cap > engine._learned_need:
+            engine._learned_need = st.a_cap
+        if st.k_cap > engine._learned_kcap:
+            engine._learned_kcap = st.k_cap
+        if st.p_cap > engine._learned_pcap:
+            engine._learned_pcap = st.p_cap
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     st.prev_dev = (out.prev_key, out.prev_tpos, out.prev_qpos, out.n_prev)
