@@ -567,6 +567,11 @@ class _BatchState:
         self.all_events = [[] for _ in range(b)]
         self.chunk_idx = 0
         self.stage_prefix = ""  # "warmup:" for dummy batches
+        # dispatch frame: late chunks with few live reads re-dispatch a
+        # compacted row subset (see _maybe_compact_frame).  frame[j] = host
+        # row of dispatch row j; disp_b = current dispatch width
+        self.frame = None
+        self.disp_b = self.b_dev
         self.pending = None  # in-flight ChunkOut
         self.pending_slen = None
         self.pending_spec = None  # speculative packed-prefix (async D2H)
@@ -607,6 +612,56 @@ class _BatchState:
         self.prev_key, self.prev_tpos, self.prev_qpos = pk, pt, pq
         self.p_cap = new_p
         self.wide = self.wide or (self.a_cap + self.p_cap >= (1 << 15))
+
+
+def _maybe_compact_frame(engine: MappingEngine, st: _BatchState) -> None:
+    """Shrink the dispatch frame to the live reads (host-tail single-device
+    path).  At 100 Mbp widths a full-batch dispatch costs seconds of device
+    sort/fill plus a 25 MB carried-anchor upload to serve ONE straggler
+    read; compacting to a {64,128,...}-row frame scales every per-chunk cost
+    with live reads.  The engine-side device state (norm carry, ev_offset,
+    q_rank) is gathered once per re-frame; host per-read state keeps
+    original indexing via frame[j] -> host row."""
+    import os as _os
+
+    if (
+        engine.dist is not None
+        or st.chunk_idx == 0
+        or (engine.mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
+    ):
+        return
+    rows = np.nonzero(st.active)[0]
+    if rows.size == 0:
+        return
+    base = int(_os.environ.get("RAWHASH_TPU_ROW_LADDER_BASE", "64"))
+    f_pad = base
+    while f_pad < rows.size:
+        f_pad *= 2
+    if f_pad >= st.disp_b:
+        return
+    import jax.numpy as jnp
+
+    if st.frame is None:
+        dev_rows = rows  # dispatch rows == host rows before any framing
+    else:
+        pos = np.full(st.b, -1, dtype=np.int64)
+        pos[st.frame] = np.arange(st.frame.shape[0])
+        dev_rows = pos[rows]
+        assert (dev_rows >= 0).all()
+    idx = np.zeros(f_pad, dtype=np.int32)
+    idx[: rows.size] = dev_rows
+    idx_d = jnp.asarray(idx)
+    st.carry = NormCarry(
+        st.carry.sum[idx_d], st.carry.sum_sq[idx_d], st.carry.n[idx_d]
+    )
+    st.ev_offset = st.ev_offset[idx_d]
+    st.q_rank_dev = st.q_rank_dev[idx_d]
+    if st.prev_dev is not None:
+        # device-tail: carried anchors are device-resident; gather their rows
+        pk, pt, pq, npv = st.prev_dev
+        st.prev_dev = (pk[idx_d], pt[idx_d], pq[idx_d], npv[idx_d])
+    st.frame = rows
+    st.disp_b = f_pad
 
 
 def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack,
@@ -728,7 +783,8 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     # two sub-batch sizes only (64 rows or the full batch): every distinct
     # row count is a separate ~90 s cold compile on this backend, and the
     # quarantine fires rarely enough that padding waste is irrelevant
-    r_pad = min(64, st.b_dev) if rows.size <= 64 else st.b_dev
+    live_b = st.frame.shape[0] if st.frame is not None else st.b
+    r_pad = min(64, st.disp_b) if rows.size <= 64 else st.disp_b
     if engine.dist is not None:
         # sharded sub-batch must tile the (dp, shard) mesh exactly
         r_pad = engine.dist.pad_batch(r_pad)
@@ -781,7 +837,7 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     # 168 MB when the max, not a quantile, was learned)
     with engine._stats_lock:
         engine.stats["hit_overflow"] += int(scal[:, 4].sum())
-    if rows.size > st.b // 4 and sub_a > st.a_cap:
+    if rows.size > live_b // 4 and sub_a > st.a_cap:
         # a quarter of the batch overflowed: the main program is undersized
         # for this workload, so later chunks of THIS batch dispatch at the
         # converged capacity instead of re-quarantining everything (observed
@@ -805,13 +861,13 @@ def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
     io = engine.iopt
     with engine._stats_lock:
         engine.stats["dp_cells"] = engine.stats.get("dp_cells", 0) + (
-            st.b_dev * (st.a_cap + st.p_cap) * mo.max_chain_iter
+            st.disp_b * (st.a_cap + st.p_cap) * mo.max_chain_iter
         )
     if st.prev_dev is None:
-        pk = jnp.full((st.b_dev, 8), 0xFFFFFFFF, dtype=jnp.uint32)
-        pt = jnp.zeros((st.b_dev, 8), jnp.int32)
-        pq = jnp.zeros((st.b_dev, 8), jnp.int32)
-        npv = jnp.zeros(st.b_dev, jnp.int32)
+        pk = jnp.full((st.disp_b, 8), 0xFFFFFFFF, dtype=jnp.uint32)
+        pt = jnp.zeros((st.disp_b, 8), jnp.int32)
+        pq = jnp.zeros((st.disp_b, 8), jnp.int32)
+        npv = jnp.zeros(st.disp_b, jnp.int32)
     else:
         pk, pt, pq, npv = st.prev_dev
     return chunk_step_tail(
@@ -849,7 +905,9 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     sig_dev, slen_arr, active_arr = st.pending_inputs
     st.pending = st.pending_slen = st.pending_inputs = None
     t_wait = time.perf_counter()
-    h_scal = np.asarray(out.scalars)[: st.b]
+    hrows = st.frame if st.frame is not None else np.arange(st.b)
+    n_live = hrows.shape[0]
+    h_scal = np.asarray(out.scalars)[:n_live]
     # zero-truncation retry: grow whichever capacity overflowed (hit slots,
     # chain summaries, carried anchors) and re-run with the SAME inputs —
     # carry/prev are committed only after the retry, so the rerun is exact
@@ -878,7 +936,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
                 engine.stats.get("anchor_regrows", 0) + 1
             )
         out = _dispatch_step_tail(engine, st, sig_dev, slen_arr, active_arr)
-        h_scal = np.asarray(out.scalars)[: st.b]
+        h_scal = np.asarray(out.scalars)[:n_live]
     # feed the converged capacities back so the NEXT batch starts there
     # instead of re-growing the whole batch every pass (tail growth is
     # whole-batch: 2-3 extra full dispatches per chunk observed at 100 Mbp)
@@ -897,18 +955,19 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     h_rep = h_scal[:, 1]
     h_proc = h_scal[:, 3] != 0
     h_evoff = h_scal[:, 5]
+    act = st.active[hrows]
     with engine._stats_lock:
-        engine.stats["hit_overflow"] += int(h_scal[st.active, 4].sum())
-        engine.stats["prev_overflow"] += int(h_scal[st.active, 7].sum())
+        engine.stats["hit_overflow"] += int(h_scal[act, 4].sum())
+        engine.stats["prev_overflow"] += int(h_scal[act, 7].sum())
         engine.stats["chain_overflow"] = engine.stats.get(
             "chain_overflow", 0
-        ) + int(h_scal[st.active, 6].sum())
+        ) + int(h_scal[act, 6].sum())
     # fetch the WHOLE summaries buffer: it is small (B x k_cap x 10 i32,
     # ~650 KB at defaults), its copy_to_host_async started at submit time,
     # and slicing it at a data-dependent kcut would compile+load a fresh
     # device program per distinct chain count — the per-chunk program-load
     # stalls behind BENCH_r02's 4.8x device-tail regression
-    hs = np.asarray(out.summaries)[: st.b]
+    hs = np.asarray(out.summaries)[:n_live]
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 
@@ -916,22 +975,22 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     now = time.perf_counter()
     t_host = now
     all_chains = bool(mo.flag & MapFlag.ALL_CHAINS)
-    for i in range(st.b):
+    for j, i in enumerate(hrows):
         if not st.active[i]:
             continue
-        if slen[i] == 0:
+        if slen[j] == 0:
             st.active[i] = False
             continue
         st.c_counts[i] = c
-        if not h_proc[i]:
+        if not h_proc[j]:
             st.last_regs[i] = []
             continue
-        st.ev_totals[i] = int(h_evoff[i])
+        st.ev_totals[i] = int(h_evoff[j])
         # read hash (reference: rmap.cpp:346-348)
         h = 0
-        h ^= (wang_hash32(int(h_evoff[i])) + wang_hash32(11)) & 0xFFFFFFFF
+        h ^= (wang_hash32(int(h_evoff[j])) + wang_hash32(11)) & 0xFFFFFFFF
         h = wang_hash32(h)
-        regs = gen_regs_from_summaries(h, hs[i], engine.span)
+        regs = gen_regs_from_summaries(h, hs[j], engine.span)
         set_parent(
             regs, mo.mask_level, mo.mask_len,
             bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
@@ -942,7 +1001,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
                 int(mo.max_target_gap_length * 0.8),
             )
         st.last_regs[i] = regs
-        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), False)
+        set_mapq(regs, mo.min_chaining_score, int(h_rep[j]), False)
         ids, done = engine._decide(regs, False)
         if done:
             st.map_ids[i] = ids
@@ -962,22 +1021,25 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     io = engine.iopt
     c = st.chunk_idx
     no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
-    chunk = np.zeros((st.b_dev, st.l_chunk), dtype=np.float32)
-    slen = np.zeros(st.b_dev, dtype=np.int32)
-    for i in range(st.b):
+    _maybe_compact_frame(engine, st)
+    # dispatch row j <-> host row hrows[j] (identity before any framing)
+    hrows = st.frame if st.frame is not None else np.arange(st.b)
+    chunk = np.zeros((st.disp_b, st.l_chunk), dtype=np.float32)
+    slen = np.zeros(st.disp_b, dtype=np.int32)
+    for j, i in enumerate(hrows):
         if not st.active[i]:
             continue
         if no_adaptive:
             seg = st.sigs[i][: st.l_chunk]
         else:
             seg = st.sigs[i][c * st.l_chunk : (c + 1) * st.l_chunk]
-        chunk[i, : seg.shape[0]] = seg
-        slen[i] = seg.shape[0]
+        chunk[j, : seg.shape[0]] = seg
+        slen[j] = seg.shape[0]
     t_sub = time.perf_counter()
     sig_dev = chunk.astype(engine.signal_dtype)
     if engine.device_tail:
-        active_arr = np.zeros(st.b_dev, dtype=np.int32)
-        active_arr[: st.b] = st.active
+        active_arr = np.zeros(st.disp_b, dtype=np.int32)
+        active_arr[: hrows.shape[0]] = st.active[hrows]
         out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
         engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
         try:
@@ -1004,18 +1066,19 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     # path keeps p_cap: its shard_map program regrows whole-batch.
     import os as _os
 
+    n_live = hrows.shape[0]
     if engine.dist is None and not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
         p_use = 8
-        while p_use < int(st.n_prev.max()):
+        while p_use < int(st.n_prev[hrows].max()):
             p_use *= 4
         p_use = min(p_use, st.p_cap)
     else:
         p_use = st.p_cap
-    pack = np.zeros((st.b_dev, 3 * p_use + 2), dtype=np.int32)
-    pack[: st.b, :p_use] = st.prev_key[:, :p_use].view(np.int32)
-    pack[: st.b, p_use : 2 * p_use] = st.prev_tpos[:, :p_use]
-    pack[: st.b, 2 * p_use : 3 * p_use] = st.prev_qpos[:, :p_use]
-    pack[: st.b, 3 * p_use] = st.n_prev
+    pack = np.zeros((st.disp_b, 3 * p_use + 2), dtype=np.int32)
+    pack[:n_live, :p_use] = st.prev_key[hrows, :p_use].view(np.int32)
+    pack[:n_live, p_use : 2 * p_use] = st.prev_tpos[hrows, :p_use]
+    pack[:n_live, 2 * p_use : 3 * p_use] = st.prev_qpos[hrows, :p_use]
+    pack[:n_live, 3 * p_use] = st.n_prev[hrows]
     pack[:, 3 * p_use + 1] = slen
     out = _dispatch_step(engine, st, sig_dev, pack)
     engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
@@ -1034,7 +1097,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     # packed[rows, :w] via a gather program (rows is a TRACED argument, so
     # the ladder bounds the signature count).  DTW mode keeps the full
     # fetch (its events buffer is full-frame anyway).
-    rows = np.nonzero(slen[: st.b] > 0)[0]
+    rows = np.nonzero(slen[:n_live] > 0)[0]  # dispatch-row indices
     # ladder base 64 (env override exists so tests can exercise the sliced
     # path on tiny CPU batches)
     r_lad = int(_os.environ.get("RAWHASH_TPU_ROW_LADDER_BASE", "64"))
@@ -1044,7 +1107,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     if (
         engine.dist is None
         and not (mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
-        and r_lad < st.b_dev
+        and r_lad < st.disp_b
     ):
         st.pending_rows = rows
         st.pending_rows_pad = np.zeros(r_lad, dtype=np.int32)
@@ -1089,13 +1152,16 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     import os as _os
 
     trace = _os.environ.get("RAWHASH_TPU_TRACE_CHUNK")
+    # dispatch row j <-> host row hrows[j] (identity before any framing)
+    hrows = st.frame if st.frame is not None else np.arange(st.b)
+    n_live = hrows.shape[0]
     # D2H: the tiny scalar block (already en route — copy_to_host_async at
     # submit) gives the exact live-anchor width; if the speculative prefix
     # started at submit covers it, its bytes are usually already here,
     # otherwise fall back to one exact-width fetch (anchors are sorted
     # valid-first; width rounds up to 128 so the slice program compiles only
     # a handful of variants)
-    h_scal = np.asarray(out.scalars)[: st.b]
+    h_scal = np.asarray(out.scalars)[:n_live]
     # --- zero-truncation retry (reference semantics: hits are never
     # dropped — rh_kvec growth, rseed.c:105-154).  Single-device engines
     # QUARANTINE: only the rows whose hits overflowed re-run, in a compact
@@ -1131,7 +1197,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     if overrides:
         # quarantined rows' anchors arrive via their own sub-fetch; the
         # main fetch width follows the widest CLEAN row only
-        clean = np.ones(st.b, bool)
+        clean = np.ones(n_live, bool)
         clean[list(overrides)] = False
         nmax = int(h_nanc[clean].max()) if clean.any() else 0
     else:
@@ -1144,7 +1210,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     if spec is not None and spec.shape[1] >= ncut:
         hp = np.asarray(spec)[:, :ncut, :]
         if fetch_rows is None:
-            hp = hp[: st.b]
+            hp = hp[:n_live]
     elif fetch_rows is not None:
         import jax.numpy as jnp
 
@@ -1154,7 +1220,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             gather_rows_aot(out.packed, jnp.asarray(fetch_rows_pad), ncut=ncut)
         )
     else:
-        hp = np.asarray(out.packed[:, :ncut, :])[: st.b]
+        hp = np.asarray(out.packed[:, :ncut, :])[:n_live]
     # packed-derived planes index by fetch position when row-sliced
     pos_of = (
         None if fetch_rows is None
@@ -1172,7 +1238,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
     h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
     if is_dtw:
-        h_events = np.asarray(out.events)[: st.b].astype(np.float32)
+        h_events = np.asarray(out.events)[:n_live].astype(np.float32)
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 
@@ -1181,31 +1247,31 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     t_host = now
     pending = []  # (i, regs, chain_axy) awaiting DTW + decision
     wms = []  # per-read anchor watermarks feeding _plan's learned sizing
-    for i in range(st.b):
+    for j, i in enumerate(hrows):
         if not st.active[i]:
             continue
-        if slen[i] == 0:
+        if slen[j] == 0:
             st.active[i] = False
             st.n_prev[i] = 0
             continue
         st.c_counts[i] = c
-        if not h_proc[i]:
+        if not h_proc[j]:
             st.last_regs[i] = []
             continue
         if is_dtw:
-            st.all_events[i].append(h_events[i, : h_nev[i]].copy())
-        st.ev_totals[i] = int(h_evoff[i])
-        ov = overrides.get(i)
+            st.all_events[i].append(h_events[j, : h_nev[j]].copy())
+        st.ev_totals[i] = int(h_evoff[j])
+        ov = overrides.get(j)
         if ov is not None:  # quarantined row: grown-capacity rerun results
             k_i, t_i, q_i, f_i, p_i, n_i = ov
         else:
-            hj = i if pos_of is None else pos_of[i]
+            hj = j if pos_of is None else pos_of[j]
             k_i, t_i, q_i, f_i, p_i, n_i = (
-                h_key[hj], h_tpos[hj], h_qpos[hj], h_f[hj], h_p[hj], h_nanc[i]
+                h_key[hj], h_tpos[hj], h_qpos[hj], h_f[hj], h_p[hj], h_nanc[j]
             )
-        wms.append(int(n_i) + (0 if ov is not None else int(h_scal[i, 4])))
+        wms.append(int(n_i) + (0 if ov is not None else int(h_scal[j, 4])))
         regs, chain_axy, (px, py) = engine._chunk_tail(
-            k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[i]),
+            k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[j]),
         )
         st.last_regs[i] = regs
         if px.shape[0] > st.p_cap and mo.max_anchor_cap > 0:
@@ -1221,7 +1287,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         st.prev_tpos[i, :npv] = t2
         st.prev_qpos[i, :npv] = q2
         st.n_prev[i] = npv
-        pending.append((i, regs, chain_axy))
+        pending.append((i, j, regs, chain_axy))
 
     if is_dtw:
         # all reads' chain segments in one batched device DTW program
@@ -1229,14 +1295,14 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
 
         jobs = [
             (regs, bx, by, np.concatenate(st.all_events[i]))
-            for i, regs, (bx, by) in pending
+            for i, _j, regs, (bx, by) in pending
             if regs
         ]
         if jobs:
             evaluate_chains_batched(jobs, engine.index, mo)
 
-    for i, regs, _ in pending:
-        set_mapq(regs, mo.min_chaining_score, int(h_rep[i]), is_dtw)
+    for i, j, regs, _ in pending:
+        set_mapq(regs, mo.min_chaining_score, int(h_rep[j]), is_dtw)
         ids, done = engine._decide(regs, is_dtw)
         if done:
             st.map_ids[i] = ids

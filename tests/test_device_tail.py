@@ -108,3 +108,46 @@ def test_device_tail_disabled_for_special_modes():
             assert not eng.device_tail
     finally:
         del os.environ["RAWHASH_TPU_DEVICE_TAIL"]
+
+
+def test_device_tail_frame_compaction_paf_identical(monkeypatch):
+    """Device-tail with the dispatch frame compacted to live rows (ladder
+    base shrunk so tiny CPU batches exercise it) matches the uncompacted
+    run exactly, including carried-anchor state across re-framed chunks."""
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(27)
+    genome = "".join(rng.choice(list("ACGT"), size=9000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=8, read_len=700, rng=rng)
+    batch = []
+    for i, (n, s, _, _) in enumerate(reads):
+        if i % 2 == 0:
+            s = np.concatenate(
+                [rng.normal(90.0, 9.0, 6000).astype(np.float32), s]
+            )
+        batch.append((n, s))
+
+    def run():
+        eng = MappingEngine(index, MapOptions())
+        assert eng.device_tail
+        out = eng.map_batch(list(batch))
+        return [
+            (r.name, [(m.ref_id, m.frag_start, m.mapq, m.rev, m.mapped)
+                      for m in r.records])
+            for r in out
+        ]
+
+    monkeypatch.setenv("RAWHASH_TPU_DEVICE_TAIL", "1")
+    monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "2")
+    framed = run()
+    monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "1024")
+    full = run()
+    assert framed == full
