@@ -79,6 +79,26 @@ def backtrack_batch(
 
         # ---- phase 0: pick the next unused candidate (lchain.c:131-137)
         in0 = phase == 0
+        # vectorized used-candidate skip: at 100k+ anchor widths most
+        # candidates are already claimed by an earlier chain, and burning
+        # one lockstep iteration per skip dominated the whole backtrack
+        # (~15 s/chunk at 147k).  Probe SKIP_W candidates at once and jump
+        # past the leading run of used ones — identical to the sequential
+        # one-by-one skip because only candidates that WOULD have been
+        # skipped (valid and t1 != 0) are counted, stopping at the first
+        # non-skippable.
+        lead = jnp.zeros(b, jnp.int32)
+        still = in0
+        for d in range(8):
+            kd = k - d
+            kf_d = gather(z_f, kd)
+            ki_d = gather(z_idx, kd)
+            skip_d = (
+                (kd >= 0) & (kf_d >= min_sc) & (gather(t1, ki_d) != 0)
+            )
+            still = still & skip_d
+            lead = lead + still.astype(jnp.int32)
+        k = jnp.where(in0, k - lead, k)
         k_idx = gather(z_idx, k)
         k_f = gather(z_f, k)
         exhausted = in0 & ((k < 0) | (k_f < min_sc))
