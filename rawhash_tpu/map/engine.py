@@ -178,23 +178,37 @@ class MappingEngine:
         # across batches here
         self._learned_kcap = 0
         self._learned_pcap = 0
-        # device-tail mode (opt-in): backtrack + compaction run on-device and
-        # only per-chain summaries leave the device (O(chains) D2H instead of
-        # O(anchors)); carried anchors stay device-resident.  Measured 4.8x
-        # SLOWER end-to-end than the host tail on the viral bench (128k vs
-        # 609k bp/s, BENCH_r02) despite moving fewer bytes, so the host tail
-        # is the default; set RAWHASH_TPU_DEVICE_TAIL=1 to opt in.  Host-tail
-        # is also required for the modes that need per-anchor host data (RMQ
-        # re-chaining, --bw-long, DTW evaluation) and the sharded engine.
+        # device-tail mode: backtrack + compaction run on-device and only
+        # per-chain summaries leave the device (O(chains) D2H instead of
+        # O(anchors)); carried anchors stay device-resident.  At small
+        # anchor widths the host tail wins (BENCH_r02: tail 4.8x slower on
+        # the viral bench), but past ~32k anchors/read/chunk the host
+        # tail's O(anchors) fetch dominates everything (671 MB/chunk at
+        # 100 Mbp sensitive) and the tail measures ~1.6x faster end-to-end.
+        # Selection is therefore OBSERVATION-driven: engines start host-tail
+        # and auto-switch when the learned per-chunk anchor watermark
+        # crosses the threshold (static occupancy estimates overestimate
+        # grossly when query seeds miss the table, e.g. fast-preset 1 Gbp).
+        # Batches bind their mode at creation (st.tail), so in-flight
+        # batches finish consistently.  RAWHASH_TPU_DEVICE_TAIL=1 forces on,
+        # RAWHASH_TPU_NO_DEVICE_TAIL=1 forces off.  Host-tail remains
+        # required for modes needing per-anchor host data (RMQ re-chaining,
+        # --bw-long, DTW evaluation) and the sharded engine.
         import os as _os
 
-        self.device_tail = (
+        self._tail_eligible = (
             self.dist is None
             and not (mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
             and not (mopt.flag & MapFlag.RMQ)
             and mopt.bw_long <= mopt.bw
-            and bool(_os.environ.get("RAWHASH_TPU_DEVICE_TAIL"))
             and not _os.environ.get("RAWHASH_TPU_NO_DEVICE_TAIL")
+        )
+        self.device_tail = self._tail_eligible and bool(
+            _os.environ.get("RAWHASH_TPU_DEVICE_TAIL")
+        )
+        self._tail_auto = self._tail_eligible and not self.device_tail
+        self.tail_switch_anchors = int(
+            _os.environ.get("RAWHASH_TPU_TAIL_SWITCH_ANCHORS", "32768")
         )
 
     # ---------- helpers ----------
@@ -474,7 +488,7 @@ class MappingEngine:
         # case was retired)
         out = st.pending
         np.asarray(out.scalars)  # blocks until the program is compiled + run
-        if self.device_tail:
+        if st.tail:
             # _dispatch_step_tail always accounts a_cap + p_cap
             dummy_cells = st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
             np.asarray(out.summaries[:, :64, :])
@@ -578,12 +592,15 @@ class _BatchState:
         self.pending_inputs = None  # (sig_dev, pack) kept for overflow retry
         self.pending_rows = None  # straggler row-slice (None = full frame)
         self.pending_rows_pad = None
+        # mode binds at batch creation so an engine-level auto-switch never
+        # changes an in-flight batch's semantics
+        self.tail = engine.device_tail
         # device-tail state: carried anchors live on device between chunks
         self.prev_dev = None  # (key u32, tpos i32, qpos i32, n_prev i32)
         # per-read chain-summary capacity (grows on overflow; engine-level
         # feedback seeds it at the previously converged width)
         self.k_cap = max(64, engine._learned_kcap)
-        if engine.device_tail and engine._learned_pcap > self.p_cap:
+        if self.tail and engine._learned_pcap > self.p_cap:
             self.p_cap = engine._learned_pcap
         # wide i32 packing whenever anchor indices or event offsets can
         # exceed the int16 range (the narrow layout halves D2H bytes)
@@ -1037,7 +1054,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         slen[j] = seg.shape[0]
     t_sub = time.perf_counter()
     sig_dev = chunk.astype(engine.signal_dtype)
-    if engine.device_tail:
+    if st.tail:
         active_arr = np.zeros(st.disp_b, dtype=np.int32)
         active_arr[: hrows.shape[0]] = st.active[hrows]
         out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
@@ -1136,7 +1153,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
 def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     """Host tail of an in-flight chunk: backtrack, regions, MAPQ, decisions
     (reference: rmap.cpp:415-500)."""
-    if engine.device_tail:
+    if st.tail:
         return _process_chunk_tail(engine, st)
     mo = engine.mopt
     is_dtw = bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
@@ -1319,6 +1336,22 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             wm = int(np.quantile(np.asarray(wms), 0.95))
             if wm > engine._learned_need:
                 engine._learned_need = wm
+            if (
+                engine._tail_auto
+                and not engine.device_tail
+                and engine._learned_need > engine.tail_switch_anchors
+            ):
+                # O(anchors) host-tail fetch is now the bottleneck: new
+                # batches take the device-tail path (O(chains) D2H)
+                engine.device_tail = True
+                import sys as _sys
+
+                print(
+                    "[rawhash-tpu] anchor watermark "
+                    f"{engine._learned_need} > {engine.tail_switch_anchors}:"
+                    " switching new batches to the device-tail path",
+                    file=_sys.stderr,
+                )
     st.chunk_idx += 1
 
 

@@ -151,3 +151,46 @@ def test_device_tail_frame_compaction_paf_identical(monkeypatch):
     monkeypatch.setenv("RAWHASH_TPU_ROW_LADDER_BASE", "1024")
     full = run()
     assert framed == full
+
+
+def test_auto_tail_switch_on_observed_width(monkeypatch):
+    """Engines start host-tail and auto-switch NEW batches to the device
+    tail once the observed anchor watermark crosses the threshold; records
+    stay identical across the switch (mode binds per batch)."""
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(31)
+    genome = "".join(rng.choice(list("ACGT"), size=8000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=12, read_len=600, rng=rng)
+    b1 = [(n, s) for n, s, _, _ in reads[:6]]
+    b2 = [(n, s) for n, s, _, _ in reads[6:]]
+
+    def snap(res):
+        return [
+            (r.name, [(m.ref_id, m.frag_start, m.mapq, m.rev, m.mapped)
+                      for m in r.records])
+            for r in res
+        ]
+
+    monkeypatch.delenv("RAWHASH_TPU_DEVICE_TAIL", raising=False)
+    monkeypatch.setenv("RAWHASH_TPU_TAIL_SWITCH_ANCHORS", "10")
+    eng = MappingEngine(index, MapOptions())
+    assert not eng.device_tail and eng._tail_auto
+    got1 = snap(eng.map_batch(b1))
+    assert eng.device_tail, "watermark above threshold must flip the mode"
+    got2 = snap(eng.map_batch(b2))  # mapped via the device tail
+
+    monkeypatch.setenv("RAWHASH_TPU_TAIL_SWITCH_ANCHORS", str(1 << 30))
+    eng2 = MappingEngine(index, MapOptions())
+    want1 = snap(eng2.map_batch(b1))
+    assert not eng2.device_tail
+    want2 = snap(eng2.map_batch(b2))
+    assert got1 == want1 and got2 == want2
