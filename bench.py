@@ -344,29 +344,46 @@ def _ava_overlap_quality(n_reads=120, genome_len=60_000, read_len=1500,
     return out
 
 
-def _gbp_workload(budget_left_s: float):
-    """Human-scale (1 Gbp) mapping characterization via tools/bench_large.py
-    in a subprocess (isolates the primary metric from OOM/timeout at this
-    scale).  Mirrors the reference's D5 human configuration: preset 'fast'
-    with -w 3 minimizers (test/evaluation/read_mapping/d5_human_na12878_r94/
-    run_rawhash2.sh); baseline 1,837 bp/s on 32 CPU threads
-    (test/figures/throughput/throughput.csv:14)."""
+def _large_workload(tag: str, argv: list, budget_left_s: float):
+    """Large-genome characterization via tools/bench_large.py in a
+    subprocess (isolates the primary metric from OOM/timeout at scale)."""
     import json as _json
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     r = subprocess.run(
         [sys.executable, "-u", os.path.join(repo, "tools", "bench_large.py"),
-         "--mbp", "1000", "--reads", "128", "--batch", "128",
-         "--preset", "fast", "--w", "3", "--passes", "2",
-         "--baseline-bps", "1837"],
+         *argv],
         capture_output=True, text=True, timeout=max(budget_left_s, 600),
     )
     for line in r.stderr.splitlines():
-        print(f"# [gbp1] {line}", file=sys.stderr)
+        print(f"# [{tag}] {line}", file=sys.stderr)
     if r.returncode != 0:
         raise RuntimeError(f"bench_large rc={r.returncode}: {r.stderr[-300:]}")
     return _json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _gbp_workload(budget_left_s: float):
+    """Human-scale (1 Gbp) mapping: the reference's D5 human configuration —
+    preset 'fast' with -w 3 minimizers (test/evaluation/read_mapping/
+    d5_human_na12878_r94/run_rawhash2.sh); baseline 1,837 bp/s on 32 CPU
+    threads (test/figures/throughput/throughput.csv:14)."""
+    return _large_workload("gbp1", [
+        "--mbp", "1000", "--reads", "128", "--batch", "128",
+        "--preset", "fast", "--w", "3", "--passes", "2",
+        "--baseline-bps", "1837",
+    ], budget_left_s)
+
+
+def _d4_workload(budget_left_s: float):
+    """D4-scale (100 Mbp, sensitive — the reference's green-algae preset,
+    d4_green_algae_r94/run_rawhash2.sh); baseline 8,390 bp/s on 32 CPU
+    threads (throughput.csv:11).  Exercises the ~100k-anchors/read/chunk
+    regime and the observation-driven device-tail switch."""
+    return _large_workload("d4_100mbp", [
+        "--mbp", "100", "--reads", "256", "--batch", "256",
+        "--passes", "3", "--baseline-bps", "8390",
+    ], budget_left_s)
 
 
 def main():
@@ -411,6 +428,12 @@ def main():
             gbp1 = _gbp_workload(budget_s - (time.time() - t_start) - 120)
         except Exception as e:
             print(f"# [gbp1] failed: {e}", file=sys.stderr)
+    d4 = None
+    if not skip_extra and time.time() - t_start < budget_s - 700:
+        try:
+            d4 = _d4_workload(budget_s - (time.time() - t_start) - 120)
+        except Exception as e:
+            print(f"# [d4_100mbp] failed: {e}", file=sys.stderr)
     if not skip_extra and time.time() - t_start < budget_s - 300:
         try:
             ava = _ava_overlap_quality()
@@ -437,6 +460,8 @@ def main():
         result["ecoli_5mbp"] = ecoli
     if gbp1:
         result["gbp1_human_scale"] = gbp1
+    if d4:
+        result["d4_100mbp"] = d4
     if ava:
         result["ava_overlap"] = ava
     print(json.dumps(result))
