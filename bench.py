@@ -449,6 +449,7 @@ def main():
         "mapped_frac": viral["mapped_frac"],
         "accuracy": viral["accuracy"],
         "warmup_s": viral["warmup_s"],
+        "warmup_detail": viral.get("warmup_detail"),
         "xla_cache_entries_at_start": cache_entries,
         "cell_updates_per_s": viral["cell_updates_per_s"],
         "stage_profile_s": viral["stage_profile_s"],

@@ -31,9 +31,9 @@ def render(bench_path: str) -> str:
     b = art.get("parsed", art)  # driver artifact wraps the JSON line
     name = os.path.basename(bench_path)
     lines = [
-        f"Measured numbers below are quoted verbatim from `{name}` (the",
-        "driver-committed artifact of record for that round); run `python",
-        "bench.py` to reproduce.  Wall-clock numbers on this shared",
+        f"Measured numbers below are quoted verbatim from `{name}`",
+        "(a committed bench artifact); run `python bench.py` to reproduce.",
+        "Wall-clock numbers on this shared",
         "2-core/tunneled-device host breathe ~2x with unrelated load — the",
         "same-host reference head-to-head (both sides best-of-N in the same",
         "process) is the noise-controlled comparison.",
@@ -61,6 +61,8 @@ def render(bench_path: str) -> str:
     if "gbp1_human_scale" in b:
         row("human-scale (1 Gbp, `fast -w 3`)", b["gbp1_human_scale"],
             "1,837 bp/s")
+    if "d4_100mbp" in b:
+        row("D4-scale (100 Mbp, `sensitive`)", b["d4_100mbp"], "8,390 bp/s")
     lines.append("")
     if "ava_overlap" in b:
         a = b["ava_overlap"]
