@@ -162,9 +162,11 @@ class MappingEngine:
         else:
             self._key_words = 4
         self._tid_bits = tid_bits
-        # speculative D2H prefix width for the packed anchor fetch (learned
-        # from the previous chunk's live width; 0 = first chunk, exact fetch)
+        # speculative D2H prefix widths (learned from the previous chunk's
+        # live widths; 0 = first chunk, exact fetch): packed anchors for the
+        # host tail, chain-summary rows for the device tail
         self._spec_ncut = 0
+        self._spec_kcut = 0
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
         # observed per-chunk anchor watermark (hits + overflow), fed back
         # into _plan: the static occupancy model misestimates grossly at
@@ -919,8 +921,10 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     mo = engine.mopt
     out = st.pending
     slen = st.pending_slen
+    spec_k = st.pending_spec  # speculative summaries prefix (async D2H)
     sig_dev, slen_arr, active_arr = st.pending_inputs
     st.pending = st.pending_slen = st.pending_inputs = None
+    st.pending_spec = None
     t_wait = time.perf_counter()
     hrows = st.frame if st.frame is not None else np.arange(st.b)
     n_live = hrows.shape[0]
@@ -953,6 +957,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
                 engine.stats.get("anchor_regrows", 0) + 1
             )
         out = _dispatch_step_tail(engine, st, sig_dev, slen_arr, active_arr)
+        spec_k = None  # capacities changed: the prefetched slice is stale
         h_scal = np.asarray(out.scalars)[:n_live]
     # feed the converged capacities back so the NEXT batch starts there
     # instead of re-growing the whole batch every pass (tail growth is
@@ -984,7 +989,16 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     # and slicing it at a data-dependent kcut would compile+load a fresh
     # device program per distinct chain count — the per-chunk program-load
     # stalls behind BENCH_r02's 4.8x device-tail regression
-    hs = np.asarray(out.summaries)[:n_live]
+    n_u_max = int(h_scal[:, 0].max()) if h_scal.size else 0
+    if spec_k is not None and spec_k.shape[1] >= n_u_max:
+        hs = np.asarray(spec_k)[:n_live]
+    else:
+        hs = np.asarray(out.summaries)[:n_live]
+    # next chunk's speculative chain-count width (pow2 ladder)
+    kw = 64
+    while kw < n_u_max:
+        kw *= 2
+    engine._spec_kcut = kw
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 
@@ -1059,9 +1073,19 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         active_arr[: hrows.shape[0]] = st.active[hrows]
         out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
         engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
+        # speculative chain-count slice: the summaries buffer is
+        # [disp_b, k_cap, 10] i32 and k_cap can learn to thousands at
+        # 100 Mbp scale (42 MB/chunk on a ~15 MB/s link); chunk-to-chunk
+        # chain counts are stable, so prefetch a pow2 prefix sized from the
+        # last chunk's max n_u (exact-width fallback when it undershoots)
+        spec_k = None
+        kw = min(engine._spec_kcut, out.summaries.shape[1])
+        if 0 < kw < out.summaries.shape[1]:
+            spec_k = out.summaries[:, :kw, :]
+        st.pending_spec = spec_k
         try:
             out.scalars.copy_to_host_async()
-            out.summaries.copy_to_host_async()
+            (spec_k if spec_k is not None else out.summaries).copy_to_host_async()
         except Exception:
             pass
         st.pending = out
