@@ -973,7 +973,6 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     st.ev_offset = out.ev_offset
     st.prev_dev = (out.prev_key, out.prev_tpos, out.prev_qpos, out.n_prev)
 
-    h_nu = h_scal[:, 0]
     h_rep = h_scal[:, 1]
     h_proc = h_scal[:, 3] != 0
     h_evoff = h_scal[:, 5]
@@ -1049,7 +1048,6 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     import jax.numpy as jnp
 
     mo = engine.mopt
-    io = engine.iopt
     c = st.chunk_idx
     no_adaptive = bool(mo.flag & MapFlag.NO_ADAPTIVE)
     _maybe_compact_frame(engine, st)
