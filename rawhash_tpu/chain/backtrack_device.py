@@ -59,13 +59,22 @@ def backtrack_batch(
         dimension=1, num_keys=1, is_stable=True,
     )
 
+    # per-read state arrays ride FLAT [B*N] (or [B*K]) buffers and every
+    # per-iteration access is a 1D gather/scatter at rows*width + idx.
+    # (A/B at 147k width measured this equal to the 2D-scatter form — XLA
+    # lowers both acceptably — but the 1D form is the shape the TPU scatter
+    # path optimizes first, and it keeps the loop state layout explicit.)
     def gather(arr, idx):
-        return arr[rows, jnp.clip(idx, 0, arr.shape[1] - 1)]
+        if arr.ndim == 2:  # z_f/z_idx/f/p inputs stay 2D (read-only)
+            return arr[rows, jnp.clip(idx, 0, arr.shape[1] - 1)]
+        w = arr.shape[0] // b
+        return arr[rows * w + jnp.clip(idx, 0, w - 1)]
 
     def scatter_where(arr, idx, val, mask):
-        idx_c = jnp.clip(idx, 0, arr.shape[1] - 1)
-        cur = arr[rows, idx_c]
-        return arr.at[rows, idx_c].set(jnp.where(mask, val, cur))
+        w = arr.shape[0] // b
+        fi = rows * w + jnp.clip(idx, 0, w - 1)
+        cur = arr[fi]
+        return arr.at[fi].set(jnp.where(mask, val, cur))
 
     # state machine phases: 0 select candidate, 1 bk_end walk, 2 claim walk,
     # 3 done
@@ -146,7 +155,7 @@ def backtrack_batch(
         sc = jnp.where(i < 0, zsc, zsc - gather(f, i))
         cnt = n_v - n_v0
         accept = finished & (sc >= min_sc) & (cnt > 0) & (cnt >= min_cnt)
-        fits = n_u < u_sc.shape[1]
+        fits = n_u < k_cap
         u_sc = scatter_where(u_sc, n_u, sc, accept & fits)
         u_cnt = scatter_where(u_cnt, n_u, cnt, accept & fits)
         ovf = jnp.where(accept & ~fits, ovf + 1, ovf)
@@ -167,16 +176,19 @@ def backtrack_batch(
         zero, jnp.full(b, -1, jnp.int32),  # i, end_i
         zero, zero, zero,  # max_i, max_s, zsc
         zero, zero, zero,  # n_v, n_v0, n_u
-        jnp.zeros((b, n), jnp.int32),  # t1 used marks
-        jnp.full((b, n), -1, jnp.int32),  # t2 visit stamps
-        jnp.zeros((b, n), jnp.int32),  # v
-        jnp.zeros((b, k_cap), jnp.int32),  # u_sc
-        jnp.zeros((b, k_cap), jnp.int32),  # u_cnt
+        jnp.zeros(b * n, jnp.int32),  # t1 used marks (flat)
+        jnp.full(b * n, -1, jnp.int32),  # t2 visit stamps (flat)
+        jnp.zeros(b * n, jnp.int32),  # v (flat)
+        jnp.zeros(b * k_cap, jnp.int32),  # u_sc (flat)
+        jnp.zeros(b * k_cap, jnp.int32),  # u_cnt (flat)
         zero,  # chain overflow count
     )
     state = jax.lax.while_loop(cond, step, state)
     (_, _, _, _, _, _, _, n_v, _, n_u, _, _, v, u_sc, u_cnt, ovf) = state
-    return u_sc, u_cnt, n_u, v, n_v, ovf
+    return (
+        u_sc.reshape(b, k_cap), u_cnt.reshape(b, k_cap), n_u,
+        v.reshape(b, n), n_v, ovf,
+    )
 
 
 def compact_batch(
