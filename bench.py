@@ -93,12 +93,23 @@ def _throughput_workload(
     t_warm = time.time() - t0
     warm_builds = CompileLog.entries[n_log_before:]
     warm_build_s = CompileLog.total_s() - build_before
-    new_files = len(_cache_files() - files_before)
+    new_files = _cache_files() - files_before
+    new_bytes = 0
+    for fn in new_files:
+        try:
+            new_bytes += os.path.getsize(os.path.join(cache_dir, fn))
+        except OSError:
+            pass
     warmup_detail = {
         "warmup_only_s": round(t_warm_only, 1),
         "program_build_s": round(warm_build_s, 1),
         "n_programs_built": len(warm_builds),
-        "n_cache_files_written": new_files,  # >0 = cold compiles, not loads
+        # cache WRITES = cold compiles.  Bytes disambiguate which program
+        # missed: the fused chunk step serializes to multi-MB, the little
+        # slice/gather programs to ~100-200 KB — so a slow warmup with only
+        # small writes was a cache-hit LOAD stalling, not a recompile.
+        "n_cache_files_written": len(new_files),
+        "cache_bytes_written": new_bytes,
     }
     print(f"# [{name}] warmup (compile + first batch): {t_warm:.2f}s "
           f"({warmup_detail})", file=sys.stderr)
