@@ -165,10 +165,25 @@ def dump_ref_index(path: str, index: RawIndex) -> None:
     array, whose runs keep the CSR's y-sorted order."""
     o = index.opts
     b = int(getattr(o, "b", 14) or 14)
+    if b != 14:
+        # the .ind format has no bucket-count field: both the reference
+        # loader (ri_idx_init(..., 14, ...), rindex.c:670) and
+        # load_ref_index hardwire b=14, so any other b dumps to a file
+        # that parses as garbage
+        raise ValueError(f".ind format requires b=14 buckets, index has b={b}")
     pore = index.pore
-    sig_target = bool(index.sig_target)
-    store_sig = index.F is not None
+    # the loader decides whether per-sequence signals follow each name from
+    # the STORE_SIG flag bit, so presence of F/R must match the flag or the
+    # reader's fread stream desyncs
+    store_sig = bool(o.flag & IndexFlag.STORE_SIG)
     no_rev = bool(o.flag & IndexFlag.NO_REV_TARGET)
+    if store_sig != (index.F is not None):
+        raise ValueError(
+            f"STORE_SIG flag ({store_sig}) disagrees with stored signals "
+            f"(F is {'present' if index.F is not None else 'absent'})"
+        )
+    if store_sig and not no_rev and index.R is None:
+        raise ValueError("STORE_SIG without NO_REV_TARGET requires R signals")
 
     out = bytearray()
     out += _MAGIC

@@ -76,21 +76,9 @@ def _unpack_xy(ax: np.ndarray, ay: np.ndarray):
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: chunk-step programs are large and
-    this environment's compiles are slow; cache them across processes."""
-    import os
+    from ..utils.xla_cache import enable_compile_cache
 
-    import jax
-
-    try:
-        cache_dir = os.environ.get(
-            "RAWHASH_TPU_CACHE", os.path.expanduser("~/.cache/rawhash_tpu_xla")
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 class MappingEngine:
@@ -850,7 +838,8 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     hp = np.asarray(out.packed[:, :ncut, :])[: rows.size]
     key, tpos, qpos, f, p = _decode_packed(engine, hp)
     # unresolved residue past the hard cap stays counted as overflow.
-    # NOTE: quarantined rows do NOT feed _learned_need — one junk read with
+    # NOTE: quarantined rows feed _learned_need only up to the main
+    # program's a_cap (capped in _process_chunk) — one junk read with
     # 100k+ repeat hits must not drag every batch's main program to its
     # width (observed: a_cap ballooned to 131072 and the per-chunk fetch to
     # 168 MB when the max, not a quantile, was learned)
@@ -1308,7 +1297,15 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             k_i, t_i, q_i, f_i, p_i, n_i = (
                 h_key[hj], h_tpos[hj], h_qpos[hj], h_f[hj], h_p[hj], h_nanc[j]
             )
-        wms.append(int(n_i) + (0 if ov is not None else int(h_scal[j, 4])))
+        # quarantined rows count toward the watermark only up to the main
+        # program's current width: their grown-capacity n_i must not drag
+        # the p95 (and with it a_cap and the per-chunk fetch) to outlier
+        # width when >5% of a batch is repeat-heavy — that damping lives in
+        # the mass-quarantine raise at _quarantine_overflow instead
+        if ov is not None:
+            wms.append(min(int(n_i), st.a_cap))
+        else:
+            wms.append(int(n_i) + int(h_scal[j, 4]))
         regs, chain_axy, (px, py) = engine._chunk_tail(
             k_i, t_i, q_i, n_i, f_i, p_i, int(h_evoff[j]),
         )
