@@ -1,0 +1,345 @@
+"""Width-unbounded chain backtracking: Pallas kernel for N > 32768 anchors.
+
+The SMEM kernel (backtrack_pallas.py) holds all six per-read [N] arrays in
+SMEM *blocks*, which pallas double-buffers — ~21·N·4 B of the 1 MB SMEM
+budget, capping it at N <= 32768.  The lockstep ``lax.while_loop``
+formulation (backtrack_device.py) that takes over past that width costs
+12-17 s/chunk at 147k anchors: ~40 tiny [B]-wide gather/scatter ops per
+iteration, one iteration per walk step of the SLOWEST read.
+
+This kernel re-partitions the state by access pattern instead (reference
+semantics: mg_chain_backtrack, lchain.c:95-194):
+
+- ``f`` (chain scores) — random-access, read-only: VMEM ``[N/128, 128]``,
+  bulk-DMA'd from HBM once per read; each scalar read is a dynamic
+  sublane-line load + lane mask-sum (~150 ns measured on v5e).
+- ``p`` (predecessors) — random-access, read-only: SMEM ``(1, N)`` when it
+  fits (N <= 196608 with the other residents), else VMEM like ``f``.
+- claimed marks — random-access, read-write: a 1-bit/anchor SMEM bitmask
+  (N/32 words).  The lockstep kernel's second mark plane (per-candidate
+  visit stamps) is PROVABLY dead: predecessors strictly decrease
+  (``p[i] < i``, the DP looks back), so a walk can never revisit a node it
+  stamped, and the stamp test ``t2[ni] != k`` is always true.
+- ``zf/zi`` (score-sorted candidates) — sequential descending: streamed
+  through a 2048-word SMEM block buffer (two DMAs per 2048 candidates).
+- ``v``/``u_sc``/``u_cnt`` (outputs) — append-only: 128-word SMEM line
+  buffers flushed to HBM by DMA.  Append-only holds because chain
+  acceptance is decided BEFORE the claim walk: walk A's running maximum
+  IS the chain score the claim walk would recompute (``sc = zsc -
+  f[end_i] = max_s``) and the claimed count is the step index of the last
+  maximum, so the lockstep's reject-rollback of ``n_v`` never happens
+  here — rejected chains walk (their claim marks persist, as in the
+  reference) but write nothing.
+
+Bit-identical to backtrack_device.backtrack_batch (tested against the
+same host oracle).  VMEM bounds the width at ~1.5M anchors — beyond every
+capacity the engine can configure (max_anchor_cap = 2^17 per side).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT32_MIN = -(2**31)
+LANES = 128
+P_SMEM_MAX = 196608  # p resident in SMEM up to here (1 MB budget)
+
+
+def _kernel(
+    zf_hbm, zi_hbm, f_hbm, p_hbm,  # inputs [B, NL, 128] (ANY)
+    scal_ref,  # out [1, 1, 4] SMEM block: n_u, n_v, ovf
+    v_hbm, usc_hbm, ucnt_hbm,  # outs [B, NL, 128] / [B, KL, 128] (ANY)
+    f_vmem, p_res, zbuf_f, zbuf_i, vbuf, ubuf_sc, ubuf_cnt, tbits,
+    sem_a, sem_b,
+    *, n: int, k_cap: int, min_cnt: int, min_sc: int, max_drop: int,
+    zbl: int, p_in_smem: bool,
+):
+    b = pl.program_id(0)
+    nl = n // LANES
+    nw = n // 32
+    zb = zbl * LANES  # candidates per stream block
+
+    cp_f = pltpu.make_async_copy(f_hbm.at[b], f_vmem, sem_a)
+    cp_f.start()
+    cp_p = pltpu.make_async_copy(p_hbm.at[b], p_res, sem_b)
+    cp_p.start()
+
+    # clear the claimed bitmask while the bulk loads fly
+    def clr(w, _):
+        tbits[0, w] = 0
+        return 0
+
+    jax.lax.fori_loop(0, nw, clr, 0)
+    cp_f.wait()
+    cp_p.wait()
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def vget(ref, i):
+        row = ref[pl.ds(i // LANES, 1), :]
+        return jnp.sum(jnp.where(lane_iota == (i % LANES), row, 0))
+
+    def f_get(i):
+        return vget(f_vmem, i)
+
+    if p_in_smem:
+        def p_get(i):
+            return p_res[0, i]
+    else:
+        def p_get(i):
+            return vget(p_res, i)
+
+    def t_get(i):
+        return (tbits[0, i >> 5] >> (i & 31)) & 1
+
+    def t_set(i):
+        tbits[0, i >> 5] = tbits[0, i >> 5] | (jnp.int32(1) << (i & 31))
+
+    def refill(blk_cur, k):
+        blk_need = k // zb
+
+        def do(_):
+            c1 = pltpu.make_async_copy(
+                zf_hbm.at[b, pl.ds(blk_need * zbl, zbl)], zbuf_f, sem_a
+            )
+            c1.start()
+            c2 = pltpu.make_async_copy(
+                zi_hbm.at[b, pl.ds(blk_need * zbl, zbl)], zbuf_i, sem_b
+            )
+            c2.start()
+            c1.wait()
+            c2.wait()
+            return blk_need
+
+        return jax.lax.cond(blk_need != blk_cur, do, lambda _: blk_cur, 0)
+
+    def zread(buf, k):
+        r = (k % zb) // LANES
+        return buf[r, k % LANES]
+
+    def flush_v(pos):
+        # line `pos >> 7` is complete in vbuf; DMA it out
+        c = pltpu.make_async_copy(vbuf, v_hbm.at[b, pl.ds(pos // LANES, 1)], sem_a)
+        c.start()
+        c.wait()
+
+    def flush_u(pos):
+        c1 = pltpu.make_async_copy(
+            ubuf_sc, usc_hbm.at[b, pl.ds(pos // LANES, 1)], sem_a
+        )
+        c1.start()
+        c2 = pltpu.make_async_copy(
+            ubuf_cnt, ucnt_hbm.at[b, pl.ds(pos // LANES, 1)], sem_b
+        )
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    def do_chain(idx, zsc, n_v, n_u, ovf):
+        # --- walk A (mg_chain_bk_end, lchain.c:47-75): find the score peak
+        def wa_body(carry):
+            i, max_i, max_s, cbest, c, _ = carry
+            ni = p_get(i)
+            nic = jnp.maximum(ni, 0)
+            s = jnp.where(ni < 0, zsc, zsc - f_get(nic))
+            better = s > max_s
+            brk = ~better & (max_s - s > max_drop)
+            max_s = jnp.where(better, s, max_s)
+            max_i = jnp.where(better, ni, max_i)
+            cbest = jnp.where(better, c + 1, cbest)
+            cont = ~brk & (ni >= 0) & (t_get(nic) == 0)
+            return jnp.where(cont, ni, i), max_i, max_s, cbest, c + 1, cont
+
+        _, end_i, max_s, cnt, _, _ = jax.lax.while_loop(
+            lambda c: c[5],
+            wa_body,
+            (idx, idx, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.bool_(True)),
+        )
+        # acceptance before the claim walk: sc == max_s, claimed count ==
+        # cbest (the step index of the last improvement), see module doc
+        accept = (max_s >= min_sc) & (cnt > 0) & (cnt >= min_cnt)
+        fits = n_u < k_cap
+        write_v = accept & fits
+
+        # --- claim walk (lchain.c:139-146): marks ALWAYS persist (the
+        # reference keeps t[i]=1 even for rejected chains); v only commits
+        # for accepted ones
+        def cl_body(carry):
+            i, m = carry
+            t_set(i)
+
+            def put(_):
+                pos = n_v + m
+                vbuf[0, pos % LANES] = i
+                jax.lax.cond(
+                    pos % LANES == LANES - 1,
+                    lambda __: (flush_v(pos), 0)[1],
+                    lambda __: 0,
+                    0,
+                )
+                return 0
+
+            jax.lax.cond(write_v, put, lambda _: 0, 0)
+            i2 = p_get(i)
+            return i2, m + 1
+
+        def cl_cond(carry):
+            return carry[0] != end_i
+
+        jax.lax.while_loop(cl_cond, cl_body, (idx, jnp.int32(0)))
+        n_v2 = jnp.where(write_v, n_v + cnt, n_v)
+
+        def rec(_):
+            ku = n_u % LANES
+            ubuf_sc[0, ku] = max_s
+            ubuf_cnt[0, ku] = cnt
+            jax.lax.cond(
+                ku == LANES - 1,
+                lambda __: (flush_u(n_u), 0)[1],
+                lambda __: 0,
+                0,
+            )
+            return 0
+
+        jax.lax.cond(accept & fits, rec, lambda _: 0, 0)
+        n_u2 = jnp.where(accept & fits, n_u + 1, n_u)
+        ovf2 = jnp.where(accept & ~fits, ovf + 1, ovf)
+        return n_v2, n_u2, ovf2
+
+    # --- outer candidate loop (lchain.c:127-158), descending score order
+    def body(carry):
+        k, blk, n_v, n_u, ovf, _ = carry
+        blk = refill(blk, k)
+        zf_k = zread(zbuf_f, k)
+        zi_k = zread(zbuf_i, k)
+        stop = zf_k < min_sc
+        run = ~stop & (t_get(zi_k) == 0)
+        n_v, n_u, ovf = jax.lax.cond(
+            run,
+            lambda a: do_chain(zi_k, zf_k, *a),
+            lambda a: a,
+            (n_v, n_u, ovf),
+        )
+        k2 = k - 1
+        return k2, blk, n_v, n_u, ovf, ~stop & (k2 >= 0)
+
+    _, _, n_v, n_u, ovf, _ = jax.lax.while_loop(
+        lambda c: c[5],
+        body,
+        (jnp.int32(n - 1), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.bool_(n >= 1)),
+    )
+
+    # final partial-line flushes (full-width DMAs; the tail beyond n_v/n_u
+    # is garbage the callers mask, exactly like the lockstep's padding)
+    jax.lax.cond(
+        n_v % LANES != 0, lambda _: (flush_v(n_v), 0)[1], lambda _: 0, 0
+    )
+    jax.lax.cond(
+        n_u % LANES != 0, lambda _: (flush_u(n_u), 0)[1], lambda _: 0, 0
+    )
+    scal_ref[0, 0, 0] = n_u
+    scal_ref[0, 0, 1] = n_v
+    scal_ref[0, 0, 2] = ovf
+    scal_ref[0, 0, 3] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cnt", "min_sc", "max_drop", "k_cap", "interpret"),
+)
+def backtrack_pallas_big(
+    f: jnp.ndarray,  # i32 [B, N]
+    p: jnp.ndarray,  # i32 [B, N]
+    n_anchors: jnp.ndarray,  # i32 [B]
+    *,
+    min_cnt: int,
+    min_sc: int,
+    max_drop: int,
+    k_cap: int,
+    interpret: bool = False,
+):
+    """Same contract as backtrack_device.backtrack_batch."""
+    b, n = f.shape
+    if n % LANES:
+        raise ValueError(f"anchor width {n} must be a multiple of {LANES}")
+    nl = n // LANES
+    slots = jnp.arange(n, dtype=jnp.int32)
+    f_m = jnp.where(
+        slots[None, :] < n_anchors[:, None], f, jnp.int32(INT32_MIN)
+    )
+    z_f, z_idx = jax.lax.sort(
+        (f_m, jnp.broadcast_to(slots[None, :], (b, n))),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+
+    kp = max(k_cap, LANES)
+    if kp % LANES:
+        kp = (kp // LANES + 1) * LANES
+    kl = kp // LANES
+    zbl = min(16, nl)
+    p_in_smem = n <= P_SMEM_MAX
+
+    r3 = lambda a: a.reshape(b, nl, LANES)
+    kernel = functools.partial(
+        _kernel, n=n, k_cap=k_cap, min_cnt=min_cnt, min_sc=min_sc,
+        max_drop=max_drop, zbl=zbl, p_in_smem=p_in_smem,
+    )
+    p_scratch = (
+        pltpu.SMEM((1, n), jnp.int32)
+        if p_in_smem
+        else pltpu.VMEM((nl, LANES), jnp.int32)
+    )
+    # the bulk DMA needs src and dst shapes to match: p rides [B, 1, N]
+    # when SMEM-resident, [B, N/128, 128] when in VMEM
+    p_in = p.reshape(b, 1, n) if p_in_smem else r3(p)
+    scal, v, usc, ucnt = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            # 3D with a (1, 1, 4) block: the lowering requires the last
+            # two block dims to divide (8, 128) OR equal the array dims
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, 4), jnp.int32),
+            jax.ShapeDtypeStruct((b, nl, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, kl, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, kl, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nl, LANES), jnp.int32),  # f
+            p_scratch,  # p
+            pltpu.SMEM((zbl, LANES), jnp.int32),  # zf stream
+            pltpu.SMEM((zbl, LANES), jnp.int32),  # zi stream
+            pltpu.SMEM((1, LANES), jnp.int32),  # v line buffer
+            pltpu.SMEM((1, LANES), jnp.int32),  # u_sc line buffer
+            pltpu.SMEM((1, LANES), jnp.int32),  # u_cnt line buffer
+            pltpu.SMEM((1, n // 32), jnp.int32),  # claimed bitmask
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(r3(z_f), r3(z_idx), r3(f), p_in)
+    n_u = scal[:, 0, 0]
+    n_v = scal[:, 0, 1]
+    ovf = scal[:, 0, 2]
+    # mask the streamed outputs' undefined tails to the lockstep contract
+    # (zeros beyond the live prefix) so downstream consumers see identical
+    # buffers
+    ks = jnp.arange(kp, dtype=jnp.int32)
+    u_sc = jnp.where(ks[None, :] < n_u[:, None], usc.reshape(b, kp), 0)
+    u_cnt = jnp.where(ks[None, :] < n_u[:, None], ucnt.reshape(b, kp), 0)
+    v = jnp.where(slots[None, :] < n_v[:, None], v.reshape(b, n), 0)
+    return u_sc[:, :k_cap], u_cnt[:, :k_cap], n_u, v, n_v, ovf

@@ -484,6 +484,9 @@ class ChunkOutTail(NamedTuple):
     n_prev: jnp.ndarray  # i32 [B]
     carry: NormCarry
     ev_offset: jnp.ndarray  # i32 [B]
+    # sharded engine only: per-device locally-owned seed-hit totals
+    # (i32 [n_devices]) for work-balance observability; None single-device
+    shard_hits: jnp.ndarray | None = None
 
 
 @functools.partial(
@@ -530,8 +533,6 @@ def chunk_step_tail(
     chain backtrack/compaction on-device (reference: the whole per-chunk body
     of ri_map_frag + mg_chain_backtrack + compact_a, rmap.cpp:210-387,
     lchain.c:95-281).  The host receives per-chain summaries only."""
-    from ..chain.backtrack_device import backtrack_batch, compact_batch
-
     span = k + e - 1
     sig = sig.astype(jnp.float32)
     n_prev = jnp.where(active != 0, n_prev, 0)
@@ -560,6 +561,34 @@ def chunk_step_tail(
     a_key = ((hit_ps & 1) << 31) | hit_id
     a_tpos = ((hit_ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
+    return tail_finish(
+        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+        rep_len, n_ev, processed, carry2, ev_offset2,
+        prev_key, prev_tpos, prev_qpos, n_prev,
+        q_rank, target_rank,
+        span=span, max_dist_t=max_dist_t, max_dist_q=max_dist_q,
+        bw=bw, max_iter=max_iter,
+        chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
+        all_vs_all=all_vs_all,
+        min_cnt=min_cnt, min_sc=min_sc, k_cap=k_cap, p_out=p_out,
+    )
+
+
+def tail_finish(
+    a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+    rep_len, n_ev, processed, carry2, ev_offset2,
+    prev_key, prev_tpos, prev_qpos, n_prev,
+    q_rank, target_rank,
+    *, span: int, max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
+    chn_pen_gap: float, chn_pen_skip: float, all_vs_all: bool,
+    min_cnt: int, min_sc: int, k_cap: int, p_out: int,
+) -> ChunkOutTail:
+    """Everything after the seed expansion in the device-tail step: the
+    per-read merge/sort/fill, on-device backtrack + compaction and carried
+    anchor re-pick.  Pure data parallelism over the batch dimension — also
+    the per-device body of the sharded tail (parallel/dist.py), which swaps
+    only the lookup stage."""
+    from ..chain.backtrack_device import backtrack_batch, compact_batch
     s_key, s_tpos, s_qpos, n_anchors, f, p = merge_sort_fill(
         a_key, a_tpos, a_qpos, slot_valid, n_hits,
         prev_key, prev_tpos, prev_qpos, n_prev,
@@ -573,7 +602,11 @@ def chunk_step_tail(
     # --- on-device backtrack + compaction (lchain.c:95-281) ---
     # On TPU the scalar walks run as a Pallas kernel with all state in SMEM
     # (~30x the lockstep lax.while_loop, bit-identical); SMEM capacity
-    # bounds the anchor width, so extreme grown capacities fall back.
+    # bounds that kernel at 32768, where the width-unbounded variant takes
+    # over (f/p VMEM-resident, claimed marks an SMEM bitmask, streamed
+    # candidates/outputs — ~20x the lockstep at 8k, bit-identical; see
+    # chain/backtrack_pallas_big.py).  The lockstep lax.while_loop remains
+    # the CPU-test and opt-out path.
     n_total = f.shape[1]
     if (
         jax.default_backend() == "tpu"
@@ -583,6 +616,17 @@ def chunk_step_tail(
         from ..chain.backtrack_pallas import backtrack_pallas
 
         u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_pallas(
+            f, p, n_anchors,
+            min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
+        )
+    elif (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("RAWHASH_TPU_NO_PALLAS")
+        and n_total % 128 == 0
+    ):
+        from ..chain.backtrack_pallas_big import backtrack_pallas_big
+
+        u_sc, u_cnt, n_u, v, n_v, chain_ovf = backtrack_pallas_big(
             f, p, n_anchors,
             min_cnt=min_cnt, min_sc=min_sc, max_drop=bw, k_cap=k_cap,
         )

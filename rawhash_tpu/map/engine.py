@@ -183,12 +183,12 @@ class MappingEngine:
         # batches finish consistently.  RAWHASH_TPU_DEVICE_TAIL=1 forces on,
         # RAWHASH_TPU_NO_DEVICE_TAIL=1 forces off.  Host-tail remains
         # required for modes needing per-anchor host data (RMQ re-chaining,
-        # --bw-long, DTW evaluation) and the sharded engine.
+        # --bw-long, DTW evaluation); the sharded engine runs the tail
+        # inside its shard_map (parallel/dist.py::_build_dist_step_tail).
         import os as _os
 
         self._tail_eligible = (
-            self.dist is None
-            and not (mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
+            not (mopt.flag & MapFlag.DTW_EVALUATE_CHAINS)
             and not (mopt.flag & MapFlag.RMQ)
             and mopt.bw_long <= mopt.bw
             and not _os.environ.get("RAWHASH_TPU_NO_DEVICE_TAIL")
@@ -878,6 +878,28 @@ def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
         npv = jnp.zeros(st.disp_b, jnp.int32)
     else:
         pk, pt, pq, npv = st.prev_dev
+    if engine.dist is not None:
+        return engine.dist.step_tail(
+            jnp.asarray(sig_dev), st.carry, st.ev_offset,
+            pk, pt, pq, npv,
+            jnp.asarray(active_arr), jnp.asarray(slen.astype(np.int32)),
+            st.q_rank_dev, engine._target_rank,
+            diff=io.diff, w=io.w, e=io.e, q=io.q, k=io.k,
+            fine_min=io.fine_min, fine_max=io.fine_max,
+            fine_range=io.fine_range,
+            window_length1=mo.window_length1,
+            window_length2=mo.window_length2,
+            threshold1=mo.threshold1, threshold2=mo.threshold2,
+            peak_height=mo.peak_height,
+            e_cap=st.e_cap, a_cap=st.a_cap, k_cap=st.k_cap, p_out=st.p_cap,
+            min_events=mo.min_events, mid_occ=int(mo.mid_occ),
+            max_dist_t=mo.max_target_gap_length,
+            max_dist_q=mo.max_query_gap_length,
+            bw=mo.bw, max_iter=mo.max_chain_iter,
+            chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
+            min_cnt=mo.min_num_anchors, min_sc=mo.min_chaining_score,
+            all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+        )
     return chunk_step_tail(
         engine.didx, jnp.asarray(sig_dev), st.carry, st.ev_offset,
         pk, pt, pq, npv,
@@ -918,6 +940,12 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     hrows = st.frame if st.frame is not None else np.arange(st.b)
     n_live = hrows.shape[0]
     h_scal = np.asarray(out.scalars)[:n_live]
+    if engine.dist is not None and out.shard_hits is not None:
+        # per-shard work-balance observability (same as the host-tail path)
+        sh = np.asarray(out.shard_hits).astype(np.int64)
+        with engine._stats_lock:
+            tot = engine.stats.get("shard_hits")
+            engine.stats["shard_hits"] = sh if tot is None else tot + sh
     # zero-truncation retry: grow whichever capacity overflowed (hit slots,
     # chain summaries, carried anchors) and re-run with the SAME inputs —
     # carry/prev are committed only after the retry, so the rerun is exact
@@ -1108,8 +1136,14 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     pack[:n_live, 2 * p_use : 3 * p_use] = st.prev_qpos[hrows, :p_use]
     pack[:n_live, 3 * p_use] = st.n_prev[hrows]
     pack[:, 3 * p_use + 1] = slen
+    t_disp = time.perf_counter()
     out = _dispatch_step(engine, st, sig_dev, pack)
-    engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
+    now = time.perf_counter()
+    # sub-attribution: pack assembly (host numpy) vs dispatch (H2D upload +
+    # program enqueue) — the 100 Mbp-scale "submit" mystery lives here
+    engine.profiler.add(st.stage_prefix + "submit:pack", t_disp - t_sub)
+    engine.profiler.add(st.stage_prefix + "submit:dispatch", now - t_disp)
+    engine.profiler.add(st.stage_prefix + "submit", now - t_sub)
     # start D2H copies NOW (async): the scalar block always, plus a
     # speculative prefix of the packed anchors sized from the last chunk's
     # live width.  Both ride the tunnel while other batches compute; the

@@ -36,10 +36,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..index.build import RawIndex
 from ..map.device_step import (
     ChunkOut,
+    ChunkOutTail,
     decode_prev_pack,
     events_and_sketch,
     finish_chunk,
     rep_len_from_filtered,
+    tail_finish,
 )
 from ..signal.events import NormCarry
 
@@ -251,6 +253,92 @@ def _build_dist_step(mesh: Mesh, statics: tuple):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_dist_step_tail(mesh: Mesh, statics: tuple):
+    """The sharded device-tail chunk step: same lookup/merge collectives as
+    _build_dist_step, then the per-read tail (merge/sort/fill + on-device
+    backtrack/compaction, device_step.tail_finish) — pure data parallelism,
+    so carried chain anchors stay device-resident WITH their batch sharding
+    and only O(chains) summaries leave the mesh."""
+    st = dict(statics)
+    span = st["k"] + st["e"] - 1
+    bspec = P(("dp", "shard"))
+    brow = P(("dp", "shard"), None)
+    tspec = P("shard", None)
+
+    def body(
+        keys, offsets, pos_id, pos_ps,
+        sig, c_sum, c_sumsq, c_n, ev_offset,
+        prev_key, prev_tpos, prev_qpos, n_prev, active, slen,
+        q_rank, target_rank,
+    ):
+        keys, offsets = keys[0], offsets[0]
+        pos_id, pos_ps = pos_id[0], pos_ps[0]
+        sig = sig.astype(jnp.float32)
+        carry = NormCarry(c_sum, c_sumsq, c_n)
+        n_prev = jnp.where(active != 0, n_prev, 0)
+        events, n_ev, carry2, processed, hashes, qpos_seed, seed_valid = (
+            events_and_sketch(
+                sig, slen, carry,
+                window_length1=st["window_length1"],
+                window_length2=st["window_length2"],
+                threshold1=st["threshold1"], threshold2=st["threshold2"],
+                peak_height=st["peak_height"], e_cap=st["e_cap"],
+                min_events=st["min_events"],
+                diff=st["diff"], w=st["w"], e=st["e"], q=st["q"], k=st["k"],
+                fine_min=st["fine_min"], fine_max=st["fine_max"],
+                fine_range=st["fine_range"],
+            )
+        )
+        ev_offset2 = ev_offset + jnp.where(processed, n_ev, 0)
+        a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow, flt, local_hits = (
+            _sharded_lookup_expand(
+                keys, offsets, pos_id, pos_ps,
+                hashes, qpos_seed, seed_valid, ev_offset,
+                st["mid_occ"], st["a_cap"],
+            )
+        )
+        rep_len = rep_len_from_filtered(qpos_seed, flt, span)
+        out = tail_finish(
+            a_key, a_tpos, a_qpos, slot_valid, n_hits, overflow,
+            rep_len, n_ev, processed, carry2, ev_offset2,
+            prev_key, prev_tpos, prev_qpos, n_prev,
+            q_rank, target_rank,
+            span=span,
+            max_dist_t=st["max_dist_t"], max_dist_q=st["max_dist_q"],
+            bw=st["bw"], max_iter=st["max_iter"],
+            chn_pen_gap=st["chn_pen_gap"], chn_pen_skip=st["chn_pen_skip"],
+            all_vs_all=st["all_vs_all"],
+            min_cnt=st["min_cnt"], min_sc=st["min_sc"],
+            k_cap=st["k_cap"], p_out=st["p_out"],
+        )
+        return (
+            out.summaries, out.scalars,
+            out.prev_key, out.prev_tpos, out.prev_qpos, out.n_prev,
+            out.carry.sum, out.carry.sum_sq, out.carry.n, out.ev_offset,
+            local_hits[None],
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            tspec, tspec, tspec, tspec,
+            brow, bspec, bspec, bspec, bspec,
+            brow, brow, brow, bspec, bspec, bspec,
+            bspec, P(),
+        ),
+        out_specs=(
+            P(("dp", "shard"), None, None), brow,
+            brow, brow, brow, bspec,
+            bspec, bspec, bspec, bspec,
+            P(("dp", "shard")),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def mp_put(arr, sharding):
     """device_put that also works when the mesh spans processes: each
     process materializes only its addressable shards from the (identical)
@@ -299,6 +387,30 @@ class DistContext:
         )
         return ChunkOut(
             packed=packed, scalars=scalars, events=events,
+            carry=NormCarry(c_sum, c_sumsq, c_n), ev_offset=ev_off2,
+            shard_hits=shard_hits,
+        )
+
+    def step_tail(self, sig, carry, ev_offset,
+                  prev_key, prev_tpos, prev_qpos, n_prev, active, slen,
+                  q_rank, target_rank, **statics) -> ChunkOutTail:
+        fn = _build_dist_step_tail(self.mesh, tuple(sorted(statics.items())))
+        put = lambda a, s: mp_put(a, s)
+        (summ, scal, pk, pt, pq, npv, c_sum, c_sumsq, c_n, ev_off2,
+         shard_hits) = fn(
+            self.keys, self.offsets, self.pos_id, self.pos_ps,
+            put(sig, self.bspec2),
+            put(carry.sum, self.bspec), put(carry.sum_sq, self.bspec),
+            put(carry.n, self.bspec),
+            put(ev_offset, self.bspec),
+            put(prev_key, self.bspec2), put(prev_tpos, self.bspec2),
+            put(prev_qpos, self.bspec2), put(n_prev, self.bspec),
+            put(active, self.bspec), put(slen, self.bspec),
+            put(q_rank, self.bspec), put(target_rank, self.rspec),
+        )
+        return ChunkOutTail(
+            summaries=summ, scalars=scal,
+            prev_key=pk, prev_tpos=pt, prev_qpos=pq, n_prev=npv,
             carry=NormCarry(c_sum, c_sumsq, c_n), ev_offset=ev_off2,
             shard_hits=shard_hits,
         )

@@ -218,3 +218,77 @@ def test_pallas_backtrack_matches_oracle(seed):
         assert np.array_equal(
             np.asarray(ref[3])[i, : nv[i]], np.asarray(out[3])[i, : nv[i]]
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_big_backtrack_matches_oracle(seed):
+    """Width-unbounded HBM/VMEM-resident kernel == XLA while_loop backtrack
+    (interpret mode on CPU; the TPU path is exercised by the bench and the
+    on-chip A/B in tools/profiling)."""
+    import jax.numpy as jnp
+
+    from rawhash_tpu.chain.backtrack_pallas_big import backtrack_pallas_big
+    from rawhash_tpu.chain.device import chain_fill_batch as fill
+    from rawhash_tpu.chain.backtrack_device import backtrack_batch
+
+    rng = np.random.default_rng(seed)
+    b, n_cap = 3, 256
+    n_live = rng.integers(20, n_cap, size=b)
+    keys = np.zeros((b, n_cap), np.uint32)
+    tposs = np.zeros((b, n_cap), np.int32)
+    qposs = np.zeros((b, n_cap), np.int32)
+    for i in range(b):
+        keys[i], tposs[i], qposs[i] = _random_anchors(rng, int(n_live[i]), n_cap)
+
+    f, p = fill(
+        jnp.asarray(keys), jnp.asarray(tposs), jnp.asarray(qposs),
+        jnp.asarray(n_live.astype(np.int32)),
+        q_span=SPAN, max_dist_t=2500, max_dist_q=2500, bw=500, max_iter=64,
+        chn_pen_gap=0.104, chn_pen_skip=0.0,
+    )
+    kw = dict(min_cnt=2, min_sc=20, max_drop=500, k_cap=64)
+    na = jnp.asarray(n_live.astype(np.int32))
+    ref = backtrack_batch(f, p, na, **kw)
+    out = backtrack_pallas_big(f, p, na, **kw, interpret=True)
+    nu, nv = np.asarray(ref[2]), np.asarray(ref[4])
+    assert np.array_equal(nu, np.asarray(out[2]))
+    assert np.array_equal(nv, np.asarray(out[4]))
+    assert np.array_equal(np.asarray(ref[5]), np.asarray(out[5]))
+    for i in range(b):
+        assert np.array_equal(
+            np.asarray(ref[0])[i, : nu[i]], np.asarray(out[0])[i, : nu[i]]
+        )
+        assert np.array_equal(
+            np.asarray(ref[1])[i, : nu[i]], np.asarray(out[1])[i, : nu[i]]
+        )
+        assert np.array_equal(
+            np.asarray(ref[3])[i, : nv[i]], np.asarray(out[3])[i, : nv[i]]
+        )
+
+
+def test_pallas_big_chain_overflow():
+    """k_cap=1 forces the overflow path (accept & ~fits) in the big kernel."""
+    import jax.numpy as jnp
+
+    from rawhash_tpu.chain.backtrack_pallas_big import backtrack_pallas_big
+    from rawhash_tpu.chain.device import chain_fill_batch as fill
+    from rawhash_tpu.chain.backtrack_device import backtrack_batch
+
+    rng = np.random.default_rng(7)
+    b, n_cap = 2, 256
+    keys = np.zeros((b, n_cap), np.uint32)
+    tposs = np.zeros((b, n_cap), np.int32)
+    qposs = np.zeros((b, n_cap), np.int32)
+    for i in range(b):
+        keys[i], tposs[i], qposs[i] = _random_anchors(rng, n_cap, n_cap)
+    n_live = jnp.asarray(np.full(b, n_cap, np.int32))
+    f, p = fill(
+        jnp.asarray(keys), jnp.asarray(tposs), jnp.asarray(qposs), n_live,
+        q_span=SPAN, max_dist_t=2500, max_dist_q=2500, bw=500, max_iter=64,
+        chn_pen_gap=0.104, chn_pen_skip=0.0,
+    )
+    kw = dict(min_cnt=2, min_sc=20, max_drop=500, k_cap=1)
+    ref = backtrack_batch(f, p, n_live, **kw)
+    out = backtrack_pallas_big(f, p, n_live, **kw, interpret=True)
+    assert np.array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+    assert np.array_equal(np.asarray(ref[5]), np.asarray(out[5]))
