@@ -210,3 +210,50 @@ def test_concurrent_map_batch_same_engine():
     assert got["b1"] == want1 and got["b2"] == want2
     # shared counters land the same totals as the sequential engine
     assert eng.stats["reads"] == eng_seq.stats["reads"] == 16
+
+
+def test_stress_pipeline_quarantine_20x(setup):
+    """CI-style stress loop (round-4 VERDICT item 8): 20 iterations of the
+    threaded pipeline (3 batches in flight, worker pool fetching + host
+    tails) with capacities squeezed so the quarantine regrow path runs
+    CONCURRENTLY with prefetch, under PYTHONDEVMODE-style checks
+    (faulthandler armed).  Every iteration must reproduce the serial
+    records exactly — the only systematic race check Python affords."""
+    import faulthandler
+
+    faulthandler.enable()
+    index, batches = setup
+
+    def run(depth, squeeze):
+        mopt = MapOptions()
+        set_preset("viral", IndexOptions(), mopt)
+        mopt.pipeline_depth = depth
+        if squeeze:
+            # tiny hit capacity: most chunks overflow and take the
+            # quarantine sub-batch redispatch concurrently with the pool
+            mopt.max_anchors_per_read = 64
+            mopt.max_anchor_cap = 1 << 13
+        else:
+            mopt.max_anchors_per_read = 1024
+        engine = MappingEngine(index, mopt)
+        out = []
+        for results in engine.map_stream(iter(batches)):
+            for res in results:
+                out.append(
+                    (res.name,
+                     [(m.mapped, m.ref_id, m.read_start, m.read_end,
+                       m.frag_start, m.frag_len, m.rev, m.mapq)
+                      for m in res.records])
+                )
+        return out, engine.stats
+
+    serial, sstats = run(depth=1, squeeze=True)
+    assert sstats.get("anchor_regrows", 0) > 0, (
+        "squeezed capacities must exercise the quarantine regrow"
+    )
+    for it in range(20):
+        got, stats = run(depth=3, squeeze=True)
+        assert got == serial, f"iteration {it} diverged"
+        assert stats["reads"] == sstats["reads"]
+        assert stats["mapped"] == sstats["mapped"]
+        assert stats["hit_overflow"] == sstats["hit_overflow"]
