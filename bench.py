@@ -386,6 +386,21 @@ def _gbp_workload(budget_left_s: float):
     ], budget_left_s)
 
 
+def _gbp3_workload(budget_left_s: float):
+    """Full human-scale (3 Gbp) mapping — the north-star workload
+    (reference: D5 NA12878/CHM13 real-time human mapping,
+    test/figures/throughput/throughput.csv:14-16).  24 chromosome-sized
+    sequences (a single 3 Gbp sequence would overflow the u32 pos<<1|rev
+    packing), preset 'fast' with -w 5 minimizers so the seed table fits a
+    single chip's 16 GB HBM (w=3 needs ~20 GB; the reference's 32-thread
+    host uses RAM).  Baseline 1,837 bp/s (throughput.csv:14)."""
+    return _large_workload("gbp3", [
+        "--mbp", "3000", "--chrs", "24", "--reads", "128", "--batch", "128",
+        "--preset", "fast", "--w", "5", "--passes", "2",
+        "--baseline-bps", "1837",
+    ], budget_left_s)
+
+
 def _d4_workload(budget_left_s: float):
     """D4-scale (100 Mbp, sensitive — the reference's green-algae preset,
     d4_green_algae_r94/run_rawhash2.sh); baseline 8,390 bp/s on 32 CPU
@@ -431,9 +446,17 @@ def main():
             )
         except Exception as e:
             print(f"# [ecoli] failed: {e}", file=sys.stderr)
-    # human-scale 1 Gbp characterization: the most expensive stage (genome
-    # gen + native index build + cold-or-cached warmup), so it only runs
-    # when at least 20 minutes of budget remain
+    # full human-scale 3 Gbp — the north-star workload and the most
+    # expensive stage (3 GB genome gen + native index build + ~13 GB HBM
+    # upload + warmup), so it needs at least 40 minutes of budget
+    gbp3 = None
+    if not skip_extra and time.time() - t_start < budget_s - 2400:
+        try:
+            gbp3 = _gbp3_workload(budget_s - (time.time() - t_start) - 120)
+        except Exception as e:
+            print(f"# [gbp3] failed: {e}", file=sys.stderr)
+    # 1 Gbp characterization (the round-4 rehearsal scale) keeps running
+    # when budget allows, after the 3 Gbp headline
     if not skip_extra and time.time() - t_start < budget_s - 1200:
         try:
             gbp1 = _gbp_workload(budget_s - (time.time() - t_start) - 120)
@@ -470,6 +493,8 @@ def main():
             result[k] = viral[k]
     if ecoli:
         result["ecoli_5mbp"] = ecoli
+    if gbp3:
+        result["gbp3_human"] = gbp3
     if gbp1:
         result["gbp1_human_scale"] = gbp1
     if d4:

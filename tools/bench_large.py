@@ -65,7 +65,13 @@ def main():
     ap.add_argument("--baseline-bps", type=float, default=0.0,
                     help="reference 32-thread bp/s for vs_baseline "
                          "(D4 8390, D5 human 1837; throughput.csv)")
+    ap.add_argument("--chrs", type=int, default=1,
+                    help="split the genome into this many sequences "
+                         "(human-shaped; REQUIRED past 2 Gbp: a single "
+                         "sequence overflows the u32 pos<<1|rev packing)")
     args = ap.parse_args()
+    if args.mbp * 1e6 / args.chrs >= 2**31:
+        ap.error("--chrs too small: per-sequence length must stay < 2^31")
 
     from rawhash_tpu.config import IndexOptions, MapOptions, set_preset
     from rawhash_tpu.index.build import build_index_from_sequences
@@ -75,8 +81,12 @@ def main():
 
     rng = np.random.default_rng(13)
     t0 = time.time()
-    genome = make_genome(args.mbp, args.repeat_rich, rng)
-    print(f"# genome: {len(genome)/1e6:.0f} Mbp "
+    chrs = [
+        make_genome(args.mbp / args.chrs, args.repeat_rich, rng)
+        for _ in range(args.chrs)
+    ]
+    genome = chrs[0]
+    print(f"# genome: {args.mbp:g} Mbp in {args.chrs} seq(s) "
           f"({'repeat-rich' if args.repeat_rich else 'uniform'}) "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
     pore = synthetic_pore(k=6)
@@ -88,7 +98,9 @@ def main():
     mopt.batch_reads = args.batch
 
     t0 = time.time()
-    index = build_index_from_sequences([("chr1", genome)], pore, iopt)
+    index = build_index_from_sequences(
+        [(f"chr{i+1}", c) for i, c in enumerate(chrs)], pore, iopt
+    )
     t_build = time.time() - t0
     print(f"# index: {index.n_seeds/1e6:.1f} M seeds in {t_build:.1f}s",
           file=sys.stderr)
@@ -105,8 +117,24 @@ def main():
     print(f"# upload: {t_upload:.1f}s; mid_occ={mopt.mid_occ} "
           f"a_cap={a_cap} p_cap={p_cap}", file=sys.stderr)
 
-    reads = simulate_reads(genome, pore, n_reads=args.reads,
-                           read_len=args.read_len, rng=rng)
+    if args.chrs == 1:
+        reads = simulate_reads(genome, pore, n_reads=args.reads,
+                               read_len=args.read_len, rng=rng)
+        read_chr = [0] * args.reads
+    else:
+        # spread reads across chromosomes (equal lengths -> uniform split)
+        per = np.bincount(
+            rng.integers(0, args.chrs, size=args.reads), minlength=args.chrs
+        )
+        reads, read_chr = [], []
+        for ci, cnt in enumerate(per):
+            if not cnt:
+                continue
+            rs = simulate_reads(chrs[ci], pore, n_reads=int(cnt),
+                                read_len=args.read_len, rng=rng)
+            rs = [(f"chr{ci+1}_{n}", s, st, sd) for n, s, st, sd in rs]
+            reads.extend(rs)
+            read_chr.extend([ci] * int(cnt))
     batch = [(n, s) for n, s, _, _ in reads]
 
     t0 = time.time()
@@ -126,7 +154,9 @@ def main():
     spb = mopt.sample_per_base
     bases = 0.0
     n_mapped = n_correct = 0
-    for (name, sig, true_start, strand), res in zip(reads, results):
+    for (name, sig, true_start, strand), ci_chr, res in zip(
+        reads, read_chr, results
+    ):
         rec = res.records[0]
         ci = 1
         for tag in rec.tags.split("\t"):
@@ -135,7 +165,8 @@ def main():
         bases += ci * mopt.chunk_size / spb
         if rec.mapped:
             n_mapped += 1
-            if (abs(rec.frag_start - true_start) < args.read_len + 500
+            if (rec.ref_id == ci_chr
+                    and abs(rec.frag_start - true_start) < args.read_len + 500
                     and rec.rev == strand):
                 n_correct += 1
 
