@@ -178,6 +178,16 @@ def _throughput_workload(
         "cell_updates_per_s": round(cells_best / dt, 0) if dt > 0 else 0,
         "stage_profile_s": profile,
         "regrows": engine.stats.get("anchor_regrows", 0),
+        # bytes/read: the engine's figure of merit on a transfer-bound link
+        # (PERF_NOTES.md "Where the time goes") — whole-run totals, so
+        # warmup-batch transfers amortize in
+        "h2d_bytes": engine.stats.get("h2d_bytes", 0),
+        "d2h_bytes": engine.stats.get("d2h_bytes", 0),
+        "bytes_per_read": round(
+            (engine.stats.get("h2d_bytes", 0)
+             + engine.stats.get("d2h_bytes", 0))
+            / max(engine.stats.get("reads", 1), 1)
+        ),
     }
     ref_bps = _reference_same_host_bps(
         genome, pore, reads, mopt, preset, timeout=ref_timeout

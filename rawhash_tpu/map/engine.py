@@ -836,6 +836,7 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     # program whose LOAD can stall seconds on this infra
     ncut = min(out.packed.shape[1], max(128, _pow2_up(nmax)))
     hp = np.asarray(out.packed[:, :ncut, :])[: rows.size]
+    _acct_bytes(engine, "d2h_bytes", hp.nbytes)
     key, tpos, qpos, f, p = _decode_packed(engine, hp)
     # unresolved residue past the hard cap stays counted as overflow.
     # NOTE: quarantined rows feed _learned_need only up to the main
@@ -1010,6 +1011,7 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         hs = np.asarray(spec_k)[:n_live]
     else:
         hs = np.asarray(out.summaries)[:n_live]
+    _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
     # next chunk's speculative chain-count width (pow2 ladder)
     kw = 64
     while kw < n_u_max:
@@ -1059,6 +1061,14 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     st.chunk_idx += 1
 
 
+def _acct_bytes(engine: MappingEngine, key: str, nbytes: int) -> None:
+    """Accumulate transferred bytes (h2d_bytes / d2h_bytes): bytes/read is
+    the engine's figure of merit on a tunnel-bound link (PERF_NOTES.md) and
+    the bench publishes it per workload."""
+    with engine._stats_lock:
+        engine.stats[key] = engine.stats.get(key, 0) + int(nbytes)
+
+
 def _submit_chunk(engine: MappingEngine, st: _BatchState):
     """Enqueue the device chunk step (async dispatch — returns immediately
     with lazy outputs, so another batch's host tail can overlap)."""
@@ -1086,8 +1096,13 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     if st.tail:
         active_arr = np.zeros(st.disp_b, dtype=np.int32)
         active_arr[: hrows.shape[0]] = st.active[hrows]
+        _acct_bytes(engine, "h2d_bytes", sig_dev.nbytes)
         out = _dispatch_step_tail(engine, st, sig_dev, slen, active_arr)
-        engine.profiler.add(st.stage_prefix + "submit", time.perf_counter() - t_sub)
+        now = time.perf_counter()
+        # tail dispatch = H2D sig upload + program enqueue; a long stall
+        # here is enqueue BACKPRESSURE from the previous chunk's device work
+        engine.profiler.add(st.stage_prefix + "submit:dispatch", now - t_sub)
+        engine.profiler.add(st.stage_prefix + "submit", now - t_sub)
         # speculative chain-count slice: the summaries buffer is
         # [disp_b, k_cap, 10] i32 and k_cap can learn to thousands at
         # 100 Mbp scale (42 MB/chunk on a ~15 MB/s link); chunk-to-chunk
@@ -1136,6 +1151,7 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     pack[:n_live, 2 * p_use : 3 * p_use] = st.prev_qpos[hrows, :p_use]
     pack[:n_live, 3 * p_use] = st.n_prev[hrows]
     pack[:, 3 * p_use + 1] = slen
+    _acct_bytes(engine, "h2d_bytes", sig_dev.nbytes + pack.nbytes)
     t_disp = time.perf_counter()
     out = _dispatch_step(engine, st, sig_dev, pack)
     now = time.perf_counter()
@@ -1298,9 +1314,11 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     if trace:
         print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
+    _acct_bytes(engine, "d2h_bytes", hp.nbytes + 4 * out.scalars.size)
     h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
     if is_dtw:
         h_events = np.asarray(out.events)[:n_live].astype(np.float32)
+        _acct_bytes(engine, "d2h_bytes", h_events.nbytes)
     with engine._stats_lock:
         engine.profiler.add(st.stage_prefix + "device+transfer", time.perf_counter() - t_wait)
 

@@ -196,6 +196,13 @@ def main():
         "stage_profile_s": {
             k: round(v, 2) for k, v in engine.profiler.totals.items()
         },
+        "h2d_bytes": engine.stats.get("h2d_bytes", 0),
+        "d2h_bytes": engine.stats.get("d2h_bytes", 0),
+        "bytes_per_read": round(
+            (engine.stats.get("h2d_bytes", 0)
+             + engine.stats.get("d2h_bytes", 0))
+            / max(engine.stats.get("reads", 1), 1)
+        ),
     }
     if args.baseline_bps > 0:
         out["baseline_bps"] = args.baseline_bps
