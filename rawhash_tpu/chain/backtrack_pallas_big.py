@@ -52,13 +52,13 @@ P_SMEM_MAX = 196608  # p resident in SMEM up to here (1 MB budget)
 
 
 def _kernel(
-    zf_hbm, zi_hbm, f_hbm, p_hbm,  # inputs [B, NL, 128] (ANY)
+    zf_hbm, zi_hbm, f_hbm, p_hbm, d_hbm,  # inputs [B, NL, 128] (ANY)
     scal_ref,  # out [1, 1, 4] SMEM block: n_u, n_v, ovf
     v_hbm, usc_hbm, ucnt_hbm,  # outs [B, NL, 128] / [B, KL, 128] (ANY)
-    f_vmem, p_res, zbuf_f, zbuf_i, vbuf, ubuf_sc, ubuf_cnt, tbits,
+    f_vmem, p_res, d_sm, zbuf_f, zbuf_i, vbuf, ubuf_sc, ubuf_cnt, tbits,
     sem_a, sem_b,
     *, n: int, k_cap: int, min_cnt: int, min_sc: int, max_drop: int,
-    zbl: int, p_in_smem: bool,
+    zbl: int, p_in_smem: bool, use_delta: bool,
 ):
     b = pl.program_id(0)
     nl = n // LANES
@@ -78,6 +78,10 @@ def _kernel(
     jax.lax.fori_loop(0, nw, clr, 0)
     cp_f.wait()
     cp_p.wait()
+    if use_delta:
+        cp_d = pltpu.make_async_copy(d_hbm.at[b], d_sm, sem_a)
+        cp_d.start()
+        cp_d.wait()
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -100,6 +104,13 @@ def _kernel(
 
     def t_set(i):
         tbits[0, i >> 5] = tbits[0, i >> 5] | (jnp.int32(1) << (i & 31))
+
+    def d_get(i):
+        # two i16 edge deltas per SMEM word, sign-extended; -32768 is the
+        # "overflowed, fetch exact f from VMEM" sentinel
+        w = d_sm[0, i >> 1]
+        half = (w >> (16 * (i & 1))) & 0xFFFF
+        return (half ^ 0x8000) - 0x8000
 
     def refill(blk_cur, k):
         blk_need = k // zb
@@ -142,24 +153,39 @@ def _kernel(
         c2.wait()
 
     def do_chain(idx, zsc, n_v, n_u, ovf):
-        # --- walk A (mg_chain_bk_end, lchain.c:47-75): find the score peak
+        # --- walk A (mg_chain_bk_end, lchain.c:47-75): find the score peak.
+        # f along the walk path is reconstructed from the i16 edge deltas
+        # (f[ni] = f[i] - d[i], carried as f_i; exact integer chain since
+        # every non-sentinel delta is exact), so the hot loop is pure SMEM;
+        # the -32768 sentinel falls back to the exact VMEM f.
         def wa_body(carry):
-            i, max_i, max_s, cbest, c, _ = carry
+            i, f_i, max_i, max_s, cbest, c, _ = carry
             ni = p_get(i)
             nic = jnp.maximum(ni, 0)
-            s = jnp.where(ni < 0, zsc, zsc - f_get(nic))
+            if use_delta:
+                dv = d_get(i)
+                f_ni = jax.lax.cond(
+                    dv == -32768,
+                    lambda _: f_get(nic),
+                    lambda _: f_i - dv,
+                    0,
+                )
+            else:
+                f_ni = f_get(nic)
+            s = jnp.where(ni < 0, zsc, zsc - f_ni)
             better = s > max_s
             brk = ~better & (max_s - s > max_drop)
             max_s = jnp.where(better, s, max_s)
             max_i = jnp.where(better, ni, max_i)
             cbest = jnp.where(better, c + 1, cbest)
             cont = ~brk & (ni >= 0) & (t_get(nic) == 0)
-            return jnp.where(cont, ni, i), max_i, max_s, cbest, c + 1, cont
+            return (jnp.where(cont, ni, i), jnp.where(cont, f_ni, f_i),
+                    max_i, max_s, cbest, c + 1, cont)
 
-        _, end_i, max_s, cnt, _, _ = jax.lax.while_loop(
-            lambda c: c[5],
+        _, _, end_i, max_s, cnt, _, _ = jax.lax.while_loop(
+            lambda c: c[6],
             wa_body,
-            (idx, idx, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            (idx, zsc, idx, jnp.int32(0), jnp.int32(0), jnp.int32(0),
              jnp.bool_(True)),
         )
         # acceptance before the claim walk: sc == max_s, claimed count ==
@@ -285,12 +311,36 @@ def backtrack_pallas_big(
         kp = (kp // LANES + 1) * LANES
     kl = kp // LANES
     zbl = min(16, nl)
-    p_in_smem = n <= P_SMEM_MAX
+    # SMEM residency plan against the 1.00 MB budget (measured): p wants
+    # 4n, the packed edge deltas 2n, the claimed bitmask n/8, stream/line
+    # buffers ~40 KB.  Deltas win more than p (they remove the VMEM f read
+    # from every walk step), so they get SMEM first.
+    use_delta = n % 256 == 0 and 2.125 * n + 40_000 <= 1_000_000
+    p_in_smem = (6.125 if use_delta else 4.125) * n + 40_000 <= 1_000_000
+
+    # i16 edge deltas, two per i32 word: d[i] = f[i] - f[p[i]] (the DP
+    # transition score of the chosen edge).  -32768 marks "not exactly
+    # representable" (or p < 0); the kernel then reads the exact f from
+    # VMEM for that step only, so results stay bit-exact at any score
+    # magnitude.
+    if use_delta:
+        p_c = jnp.clip(p, 0, n - 1)
+        fp = jnp.take_along_axis(f, p_c, axis=1)
+        d32 = f - fp
+        d16 = jnp.clip(d32, -32767, 32767).astype(jnp.int16)
+        ok = (p >= 0) & (d32 == d16.astype(jnp.int32))
+        d16 = jnp.where(ok, d16, jnp.int16(-32768))
+        dpk = jax.lax.bitcast_convert_type(
+            d16.reshape(b, n // 2, 2), jnp.int32
+        ).reshape(b, n // 256, LANES)
+    else:
+        dpk = jnp.zeros((b, 1, LANES), jnp.int32)
 
     r3 = lambda a: a.reshape(b, nl, LANES)
     kernel = functools.partial(
         _kernel, n=n, k_cap=k_cap, min_cnt=min_cnt, min_sc=min_sc,
         max_drop=max_drop, zbl=zbl, p_in_smem=p_in_smem,
+        use_delta=use_delta,
     )
     p_scratch = (
         pltpu.SMEM((1, n), jnp.int32)
@@ -303,7 +353,7 @@ def backtrack_pallas_big(
     scal, v, usc, ucnt = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[
             # 3D with a (1, 1, 4) block: the lowering requires the last
             # two block dims to divide (8, 128) OR equal the array dims
@@ -321,6 +371,7 @@ def backtrack_pallas_big(
         scratch_shapes=[
             pltpu.VMEM((nl, LANES), jnp.int32),  # f
             p_scratch,  # p
+            pltpu.SMEM((1, n // 2 if use_delta else 1), jnp.int32),  # deltas
             pltpu.SMEM((zbl, LANES), jnp.int32),  # zf stream
             pltpu.SMEM((zbl, LANES), jnp.int32),  # zi stream
             pltpu.SMEM((1, LANES), jnp.int32),  # v line buffer
@@ -331,7 +382,8 @@ def backtrack_pallas_big(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(r3(z_f), r3(z_idx), r3(f), p_in)
+    )(r3(z_f), r3(z_idx), r3(f), p_in,
+      dpk.reshape(b, 1, -1) if use_delta else dpk)
     n_u = scal[:, 0, 0]
     n_v = scal[:, 0, 1]
     ovf = scal[:, 0, 2]
