@@ -474,8 +474,10 @@ class ChunkOutTail(NamedTuple):
     # [B, K, 10] per chain (target-sorted): score, cnt, key(u32 bits),
     # tpos0, qpos0, tposL, qposL, mlen, blen, valid
     summaries: jnp.ndarray
-    # [B, 8]: 0 n_chains, 1 rep_len, 2 n_ev, 3 processed, 4 hit_overflow,
-    # 5 ev_offset, 6 chain_overflow, 7 prev_overflow
+    # [B, 9]: 0 n_chains, 1 rep_len, 2 n_ev, 3 processed, 4 hit_overflow,
+    # 5 ev_offset, 6 chain_overflow, 7 prev_overflow, 8 flat_overflow
+    # (chains dropped from summ_flat because total live chains > flat_cap;
+    # same value replicated on every row)
     scalars: jnp.ndarray
     # device-resident carried anchors for the next chunk
     prev_key: jnp.ndarray  # u32 [B, P_out]
@@ -487,6 +489,12 @@ class ChunkOutTail(NamedTuple):
     # sharded engine only: per-device locally-owned seed-hit totals
     # (i32 [n_devices]) for work-balance observability; None single-device
     shard_hits: jnp.ndarray | None = None
+    # flat live-chain summaries i32 [flat_cap, 10] (chains packed
+    # back-to-back in batch-row order at cumsum(n_u) offsets) when the
+    # step ran with flat_cap > 0; the dense [B, K, 10] `summaries` is a
+    # placeholder then.  Fetching the flat buffer moves O(live chains)
+    # bytes instead of O(B*k_cap) — 185 MB -> ~2 MB per D4 chunk.
+    summ_flat: jnp.ndarray | None = None
 
 
 @functools.partial(
@@ -501,7 +509,7 @@ class ChunkOutTail(NamedTuple):
         "max_dist_t", "max_dist_q", "bw", "max_iter",
         "chn_pen_gap", "chn_pen_skip",
         "min_cnt", "min_sc",
-        "all_vs_all",
+        "all_vs_all", "flat_cap",
     ),
 )
 def chunk_step_tail(
@@ -527,7 +535,7 @@ def chunk_step_tail(
     max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
     chn_pen_gap: float, chn_pen_skip: float,
     min_cnt: int, min_sc: int,
-    all_vs_all: bool,
+    all_vs_all: bool, flat_cap: int = 0,
 ) -> ChunkOutTail:
     """The fused device-tail chunk step: everything chunk_step does PLUS the
     chain backtrack/compaction on-device (reference: the whole per-chunk body
@@ -571,6 +579,7 @@ def chunk_step_tail(
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
         all_vs_all=all_vs_all,
         min_cnt=min_cnt, min_sc=min_sc, k_cap=k_cap, p_out=p_out,
+        flat_cap=flat_cap,
     )
 
 
@@ -582,6 +591,7 @@ def tail_finish(
     *, span: int, max_dist_t: int, max_dist_q: int, bw: int, max_iter: int,
     chn_pen_gap: float, chn_pen_skip: float, all_vs_all: bool,
     min_cnt: int, min_sc: int, k_cap: int, p_out: int,
+    flat_cap: int = 0,
 ) -> ChunkOutTail:
     """Everything after the seed expansion in the device-tail step: the
     per-read merge/sort/fill, on-device backtrack + compaction and carried
@@ -657,17 +667,40 @@ def tail_finish(
     )
     prev_ovf = jnp.maximum(n_v - p_out, 0)
 
+    summ_flat = None
+    flat_ovf = jnp.zeros_like(n_u)
+    if flat_cap:
+        # pack live chains back-to-back (batch-row order) so the host
+        # fetches O(live chains) bytes; rows beyond a read's n_u scatter
+        # out of bounds and drop
+        b = n_u.shape[0]
+        offs = jnp.cumsum(n_u) - n_u
+        kidx = jnp.arange(summaries.shape[1], dtype=jnp.int32)[None, :]
+        live = kidx < n_u[:, None]
+        gpos = jnp.where(live, offs[:, None] + kidx, flat_cap)
+        summ_flat = (
+            jnp.zeros((flat_cap, 10), jnp.int32)
+            .at[gpos.reshape(-1)]
+            .set(summaries.reshape(-1, 10), mode="drop")
+        )
+        total = jnp.sum(n_u)
+        flat_ovf = jnp.broadcast_to(
+            jnp.maximum(total - flat_cap, 0), n_u.shape
+        )
+        summaries = jnp.zeros((b, 1, 10), jnp.int32)
+
     scalars = jnp.stack(
         [
             n_u, rep_len, n_ev, processed.astype(jnp.int32),
             overflow.astype(jnp.int32), ev_offset2, chain_ovf, prev_ovf,
+            flat_ovf,
         ],
         axis=1,
     ).astype(jnp.int32)
     return ChunkOutTail(
         summaries=summaries, scalars=scalars,
         prev_key=pk, prev_tpos=pt, prev_qpos=pq, n_prev=take,
-        carry=carry2, ev_offset=ev_offset2,
+        carry=carry2, ev_offset=ev_offset2, summ_flat=summ_flat,
     )
 
 

@@ -167,6 +167,7 @@ class MappingEngine:
         # made every pass pay 2-3 full re-dispatches; converged values carry
         # across batches here
         self._learned_kcap = 0
+        self._learned_fk = 0  # flat chain-summary capacity (device tail)
         self._learned_pcap = 0
         # device-tail mode: backtrack + compaction run on-device and only
         # per-chain summaries leave the device (O(chains) D2H instead of
@@ -481,7 +482,11 @@ class MappingEngine:
         if st.tail:
             # _dispatch_step_tail always accounts a_cap + p_cap
             dummy_cells = st.b_dev * (st.a_cap + st.p_cap) * self.mopt.max_chain_iter
-            np.asarray(out.summaries[:, :64, :])
+            np.asarray(
+                out.summ_flat[:64]
+                if out.summ_flat is not None
+                else out.summaries[:, :64, :]
+            )
         else:
             dummy_cells = _cells_of(st.pending_inputs)
             # the packed-anchor slice fetch compiles its own small program
@@ -590,6 +595,17 @@ class _BatchState:
         # per-read chain-summary capacity (grows on overflow; engine-level
         # feedback seeds it at the previously converged width)
         self.k_cap = max(64, engine._learned_kcap)
+        # flat live-chain summary capacity: the tail fetches O(live chains)
+        # bytes instead of the dense [B, k_cap, 10] buffer (185 MB/chunk at
+        # D4 widths).  Pow2 ladder, learned across batches, grown on
+        # flat_overflow exactly like the other capacities
+        import os as _os
+
+        _fk_base = int(_os.environ.get("RAWHASH_TPU_FK_BASE", "0"))
+        self.fk_cap = _fk_base or max(
+            engine._learned_fk,
+            1 << int(np.ceil(np.log2(max(64, 16 * self.disp_b)))),
+        )
         if self.tail and engine._learned_pcap > self.p_cap:
             self.p_cap = engine._learned_pcap
         # wide i32 packing whenever anchor indices or event offsets can
@@ -921,7 +937,23 @@ def _dispatch_step_tail(engine: MappingEngine, st: _BatchState,
         chn_pen_gap=engine.chn_pen_gap, chn_pen_skip=engine.chn_pen_skip,
         min_cnt=mo.min_num_anchors, min_sc=mo.min_chaining_score,
         all_vs_all=bool(mo.flag & MapFlag.ALL_CHAINS),
+        flat_cap=st.fk_cap,
     )
+
+
+class _FlatSummaries:
+    """Row-indexable view over the flat live-chain summary buffer: hs[j]
+    yields dispatch row j's [n_u_j, 10] block (all rows valid), the shape
+    gen_regs_from_summaries consumes."""
+
+    def __init__(self, flat: np.ndarray, offs: np.ndarray, n_u: np.ndarray):
+        self.flat = flat
+        self.offs = offs
+        self.n_u = n_u
+
+    def __getitem__(self, j: int) -> np.ndarray:
+        o = int(self.offs[j])
+        return self.flat[o : o + int(self.n_u[j])]
 
 
 def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
@@ -955,6 +987,10 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         need_a = int(h_scal[:, 4].max()) if h_scal.size else 0
         need_k = int(h_scal[:, 6].max()) if h_scal.size else 0
         need_p = int(h_scal[:, 7].max()) if h_scal.size else 0
+        need_f = (
+            int(h_scal[:, 8].max())
+            if h_scal.size and h_scal.shape[1] > 8 else 0
+        )
         grew = False
         if need_a > 0 and st.a_cap < cap_ceil:
             new_cap = 1 << int(np.ceil(np.log2(st.a_cap + need_a)))
@@ -967,6 +1003,11 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         if need_p > 0 and st.p_cap < cap_ceil:
             new_p = 1 << int(np.ceil(np.log2(st.p_cap + need_p)))
             st.p_cap = min(max(new_p, 2 * st.p_cap), cap_ceil)
+            grew = True
+        if need_f > 0:
+            # flat summary buffer too small for the live chains: pow2 regrow
+            # (no ceiling — it is O(total chains), tiny next to the anchors)
+            st.fk_cap = 1 << int(np.ceil(np.log2(st.fk_cap + need_f)))
             grew = True
         if not grew:
             break
@@ -987,6 +1028,8 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
             engine._learned_kcap = st.k_cap
         if st.p_cap > engine._learned_pcap:
             engine._learned_pcap = st.p_cap
+        if st.fk_cap > engine._learned_fk:
+            engine._learned_fk = st.fk_cap
     st.carry = out.carry
     st.ev_offset = out.ev_offset
     st.prev_dev = (out.prev_key, out.prev_tpos, out.prev_qpos, out.n_prev)
@@ -1007,12 +1050,21 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
     # device program per distinct chain count — the per-chunk program-load
     # stalls behind BENCH_r02's 4.8x device-tail regression
     n_u_max = int(h_scal[:, 0].max()) if h_scal.size else 0
-    if spec_k is not None and spec_k.shape[1] >= n_u_max:
+    if out.summ_flat is not None:
+        # O(live chains) fetch: chains are packed back-to-back at
+        # cumsum(n_u) offsets over the dispatch rows (device_step.tail_finish)
+        flat = np.asarray(out.summ_flat)
+        n_u_rows = np.asarray(out.scalars[:, 0])
+        offs = np.cumsum(n_u_rows) - n_u_rows
+        hs = _FlatSummaries(flat, offs[:n_live], h_scal[:, 0])
+        _acct_bytes(engine, "d2h_bytes", flat.nbytes + 4 * out.scalars.size)
+    elif spec_k is not None and spec_k.shape[1] >= n_u_max:
         hs = np.asarray(spec_k)[:n_live]
+        _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
     else:
         hs = np.asarray(out.summaries)[:n_live]
-    _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
-    # next chunk's speculative chain-count width (pow2 ladder)
+        _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
+    # next chunk's speculative chain-count width (pow2 ladder; dense mode)
     kw = 64
     while kw < n_u_max:
         kw *= 2
@@ -1109,13 +1161,17 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         # chain counts are stable, so prefetch a pow2 prefix sized from the
         # last chunk's max n_u (exact-width fallback when it undershoots)
         spec_k = None
-        kw = min(engine._spec_kcut, out.summaries.shape[1])
-        if 0 < kw < out.summaries.shape[1]:
-            spec_k = out.summaries[:, :kw, :]
+        if out.summ_flat is None:
+            kw = min(engine._spec_kcut, out.summaries.shape[1])
+            if 0 < kw < out.summaries.shape[1]:
+                spec_k = out.summaries[:, :kw, :]
         st.pending_spec = spec_k
         try:
             out.scalars.copy_to_host_async()
-            (spec_k if spec_k is not None else out.summaries).copy_to_host_async()
+            if out.summ_flat is not None:
+                out.summ_flat.copy_to_host_async()
+            else:
+                (spec_k if spec_k is not None else out.summaries).copy_to_host_async()
         except Exception:
             pass
         st.pending = out

@@ -194,3 +194,40 @@ def test_auto_tail_switch_on_observed_width(monkeypatch):
     assert not eng2.device_tail
     want2 = snap(eng2.map_batch(b2))
     assert got1 == want1 and got2 == want2
+
+
+def test_flat_summaries_growth_parity(monkeypatch):
+    """The flat live-chain summary buffer (O(live chains) D2H) must regrow
+    on flat_overflow and keep PAF identical: force a 64-row flat cap so the
+    first dispatch overflows and the growth retry fires."""
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=12000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=8, read_len=900, rng=rng)
+    batch = [(n, s) for n, s, _, _ in reads]
+
+    def run():
+        monkeypatch.setenv("RAWHASH_TPU_DEVICE_TAIL", "1")
+        eng = MappingEngine(index, MapOptions())
+        out = eng.map_batch(list(batch))
+        return eng, [
+            (r.name, [(m.ref_id, m.frag_start, m.frag_len, m.mapq, m.rev,
+                       m.mapped) for m in r.records])
+            for r in out
+        ]
+
+    _, want = run()
+    monkeypatch.setenv("RAWHASH_TPU_FK_BASE", "2")
+    eng, got = run()
+    assert got == want
+    # a 2-chain cap across 8 reads must actually overflow on this workload
+    assert eng.stats.get("anchor_regrows", 0) > 0
