@@ -90,6 +90,15 @@ def _build_lib():
         ctypes.c_int32,
         i64p,
     ]
+    lib.rh_gen_regions_summ.restype = ctypes.c_int32
+    lib.rh_gen_regions_summ.argtypes = [
+        ctypes.c_uint32, ctypes.c_int32, ctypes.c_int32,
+        i32p,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+        i64p,
+    ]
     return lib
 
 
@@ -233,6 +242,50 @@ def gen_regions_native(
     n_keep = lib.rh_gen_regions(
         ctypes.c_uint32(read_hash & 0xFFFFFFFF), np.int32(n_u),
         u64, bx, by,
+        float(mask_level), np.int32(mask_len), np.int32(hard_mask_level),
+        float(alt_diff_frac),
+        np.int32(do_select), float(pri_ratio), np.int32(best_n),
+        np.int32(check_strand), np.int32(min_strand_sc),
+        out,
+    )
+    rows = out[: n_keep * 20].reshape(n_keep, 20)
+    return [
+        Region(
+            id=int(r[0]), parent=int(r[1]), score=int(r[2]), score0=int(r[3]),
+            hash=int(r[4]), cnt=int(r[5]), as_=int(r[6]), rev=int(r[7]),
+            rid=int(r[8]), rs=int(r[9]), re=int(r[10]), qs=int(r[11]),
+            qe=int(r[12]), mlen=int(r[13]), blen=int(r[14]), n_sub=int(r[15]),
+            subsc=int(r[16]), inv=int(r[17]), is_alt=int(r[18]),
+            strand_retained=int(r[19]),
+        )
+        for r in rows
+    ]
+
+
+def gen_regions_summ_native(
+    read_hash, summ, span,
+    mask_level, mask_len, hard_mask_level, alt_diff_frac,
+    do_select, pri_ratio, best_n, check_strand, min_strand_sc,
+):
+    """Native regions pipeline from the device tail's per-chain summary
+    rows ([n_u, 10] i32): gen_regs_from_summaries -> set_parent ->
+    [select_sub+sync], pruning BEFORE any Python Region object exists —
+    at 100 Mbp widths a chunk carries ~600k live chains and the Python
+    object construction alone cost seconds.  Returns a Region list or
+    None without the native toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..chain.regions import Region
+
+    n_u = int(summ.shape[0])
+    if n_u == 0:
+        return []
+    summ = np.ascontiguousarray(summ, dtype=np.int32)
+    out = np.zeros(n_u * 20, dtype=np.int64)
+    n_keep = lib.rh_gen_regions_summ(
+        ctypes.c_uint32(read_hash & 0xFFFFFFFF), np.int32(n_u),
+        np.int32(span), summ,
         float(mask_level), np.int32(mask_len), np.int32(hard_mask_level),
         float(alt_diff_frac),
         np.int32(do_select), float(pri_ratio), np.int32(best_n),

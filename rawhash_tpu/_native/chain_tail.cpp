@@ -326,94 +326,15 @@ struct RhReg {
     uint64_t hash;
 };
 
-// Output row layout (int64 x 20 per region), matching the ctypes wrapper:
-//  0 id, 1 parent, 2 score, 3 score0, 4 hash, 5 cnt, 6 as_, 7 rev, 8 rid,
-//  9 rs, 10 re, 11 qs, 12 qe, 13 mlen, 14 blen, 15 n_sub, 16 subsc,
-// 17 inv, 18 is_alt, 19 strand_retained
-extern "C" int32_t rh_gen_regions(
-    uint32_t read_hash, int32_t n_u,
-    const int64_t* u,            // [n_u][2] (score, cnt), target-sorted
-    const uint64_t* ax, const uint64_t* ay,
+static int32_t rh_region_pipeline(
+    std::vector<RhReg>& regs,
     double mask_level, int32_t mask_len, int32_t hard_mask_level,
     double alt_diff_frac,
-    int32_t do_select,           // 0 in ALL_CHAINS mode
-    double pri_ratio, int32_t best_n, int32_t check_strand,
-    int32_t min_strand_sc,
+    int32_t do_select, double pri_ratio, int32_t best_n,
+    int32_t check_strand, int32_t min_strand_sc,
     int64_t* out)
 {
-    if (n_u <= 0) return 0;
-    const uint64_t SPAN_MASK = 0x3F;  // (1 << RI_HASH_SHIFT) - 1
-
-    std::vector<int64_t> starts(n_u), lasts(n_u);
-    {
-        int64_t off = 0;
-        for (int32_t c = 0; c < n_u; ++c) {
-            starts[c] = off;
-            off += u[2 * c + 1];
-            lasts[c] = off - 1;
-        }
-    }
-
-    // zx = ((score<<32)|cnt) ^ (hash64(hash64(ax0)+hash64(ay0) ^ rh) & M32)
-    std::vector<uint64_t> zx(n_u);
-    for (int32_t c = 0; c < n_u; ++c) {
-        uint64_t h = rh_hash64(
-            (rh_hash64(ax[starts[c]]) + rh_hash64(ay[starts[c]])) ^
-            (uint64_t)read_hash) & 0xFFFFFFFFULL;
-        zx[c] = (((uint64_t)u[2 * c] << 32) | (uint64_t)u[2 * c + 1]) ^ h;
-    }
-
-    // fuzzy match lengths per chain (mm_cal_fuzzy_len, hit.c:10-64)
-    std::vector<int64_t> mlen(n_u), blen(n_u);
-    for (int32_t c = 0; c < n_u; ++c) {
-        int64_t span0 = (int64_t)((ay[starts[c]] >> 32) & SPAN_MASK);
-        int64_t bl = span0, ml = span0;
-        for (int64_t j = starts[c] + 1; j <= lasts[c]; ++j) {
-            int64_t span = (int64_t)((ay[j] >> 32) & SPAN_MASK);
-            int64_t tl = (int64_t)(ax[j] & 0xFFFFFFFFULL) -
-                         (int64_t)(ax[j - 1] & 0xFFFFFFFFULL);
-            int64_t ql = (int64_t)(ay[j] & 0xFFFFFFFFULL) -
-                         (int64_t)(ay[j - 1] & 0xFFFFFFFFULL);
-            int64_t mn = tl < ql ? tl : ql;
-            int64_t mx = tl > ql ? tl : ql;
-            bl += mx;
-            ml += ((tl > span && ql > span) ? span : mn) + mn;
-        }
-        blen[c] = bl;
-        mlen[c] = ml;
-    }
-
-    // sort descending by zx; equal keys keep REVERSED original order
-    // (python: np.argsort(kind="stable")[::-1])
-    std::vector<int32_t> order(n_u);
-    for (int32_t c = 0; c < n_u; ++c) order[c] = c;
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int32_t a, int32_t b) { return zx[a] < zx[b]; });
-    std::reverse(order.begin(), order.end());
-
-    std::vector<RhReg> regs(n_u);
-    for (int32_t i = 0; i < n_u; ++i) {
-        int32_t c = order[i];
-        RhReg& r = regs[i];
-        uint64_t x0 = ax[starts[c]];
-        r.id = i;
-        r.parent = -1;
-        r.score = r.score0 = (int64_t)(zx[c] >> 32);
-        r.hash = zx[c] & 0xFFFFFFFFULL;
-        r.cnt = u[2 * c + 1];
-        r.as_ = starts[c];
-        r.rev = (int64_t)(x0 >> 63);
-        r.rid = (int64_t)((x0 >> 32) & 0x7FFFFFFFULL);
-        r.rs = (int64_t)(x0 & 0xFFFFFFFFULL);
-        r.re = (int64_t)(ax[lasts[c]] & 0xFFFFFFFFULL) + 1;
-        r.qs = (int64_t)(ay[starts[c]] & 0xFFFFFFFFULL);
-        r.qe = (int64_t)(ay[lasts[c]] & 0xFFFFFFFFULL) + 1;
-        r.mlen = mlen[c];
-        r.blen = blen[c];
-        r.n_sub = 0; r.subsc = 0;
-        r.inv = 0; r.is_alt = 0; r.strand_retained = 0;
-    }
-
+    const int32_t n_u = (int32_t)regs.size();
     // set_parent (mm_set_parent, hit.c:195-263)
     {
         std::vector<int32_t> w;
@@ -530,6 +451,171 @@ extern "C" int32_t rh_gen_regions(
         o[17] = r.inv; o[18] = r.is_alt; o[19] = r.strand_retained;
     }
     return (int32_t)keep.size();
+}
+
+// Output row layout (int64 x 20 per region), matching the ctypes wrapper:
+//  0 id, 1 parent, 2 score, 3 score0, 4 hash, 5 cnt, 6 as_, 7 rev, 8 rid,
+//  9 rs, 10 re, 11 qs, 12 qe, 13 mlen, 14 blen, 15 n_sub, 16 subsc,
+// 17 inv, 18 is_alt, 19 strand_retained
+extern "C" int32_t rh_gen_regions(
+    uint32_t read_hash, int32_t n_u,
+    const int64_t* u,            // [n_u][2] (score, cnt), target-sorted
+    const uint64_t* ax, const uint64_t* ay,
+    double mask_level, int32_t mask_len, int32_t hard_mask_level,
+    double alt_diff_frac,
+    int32_t do_select,           // 0 in ALL_CHAINS mode
+    double pri_ratio, int32_t best_n, int32_t check_strand,
+    int32_t min_strand_sc,
+    int64_t* out)
+{
+    if (n_u <= 0) return 0;
+    const uint64_t SPAN_MASK = 0x3F;  // (1 << RI_HASH_SHIFT) - 1
+
+    std::vector<int64_t> starts(n_u), lasts(n_u);
+    {
+        int64_t off = 0;
+        for (int32_t c = 0; c < n_u; ++c) {
+            starts[c] = off;
+            off += u[2 * c + 1];
+            lasts[c] = off - 1;
+        }
+    }
+
+    // zx = ((score<<32)|cnt) ^ (hash64(hash64(ax0)+hash64(ay0) ^ rh) & M32)
+    std::vector<uint64_t> zx(n_u);
+    for (int32_t c = 0; c < n_u; ++c) {
+        uint64_t h = rh_hash64(
+            (rh_hash64(ax[starts[c]]) + rh_hash64(ay[starts[c]])) ^
+            (uint64_t)read_hash) & 0xFFFFFFFFULL;
+        zx[c] = (((uint64_t)u[2 * c] << 32) | (uint64_t)u[2 * c + 1]) ^ h;
+    }
+
+    // fuzzy match lengths per chain (mm_cal_fuzzy_len, hit.c:10-64)
+    std::vector<int64_t> mlen(n_u), blen(n_u);
+    for (int32_t c = 0; c < n_u; ++c) {
+        int64_t span0 = (int64_t)((ay[starts[c]] >> 32) & SPAN_MASK);
+        int64_t bl = span0, ml = span0;
+        for (int64_t j = starts[c] + 1; j <= lasts[c]; ++j) {
+            int64_t span = (int64_t)((ay[j] >> 32) & SPAN_MASK);
+            int64_t tl = (int64_t)(ax[j] & 0xFFFFFFFFULL) -
+                         (int64_t)(ax[j - 1] & 0xFFFFFFFFULL);
+            int64_t ql = (int64_t)(ay[j] & 0xFFFFFFFFULL) -
+                         (int64_t)(ay[j - 1] & 0xFFFFFFFFULL);
+            int64_t mn = tl < ql ? tl : ql;
+            int64_t mx = tl > ql ? tl : ql;
+            bl += mx;
+            ml += ((tl > span && ql > span) ? span : mn) + mn;
+        }
+        blen[c] = bl;
+        mlen[c] = ml;
+    }
+
+    // sort descending by zx; equal keys keep REVERSED original order
+    // (python: np.argsort(kind="stable")[::-1])
+    std::vector<int32_t> order(n_u);
+    for (int32_t c = 0; c < n_u; ++c) order[c] = c;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) { return zx[a] < zx[b]; });
+    std::reverse(order.begin(), order.end());
+
+    std::vector<RhReg> regs(n_u);
+    for (int32_t i = 0; i < n_u; ++i) {
+        int32_t c = order[i];
+        RhReg& r = regs[i];
+        uint64_t x0 = ax[starts[c]];
+        r.id = i;
+        r.parent = -1;
+        r.score = r.score0 = (int64_t)(zx[c] >> 32);
+        r.hash = zx[c] & 0xFFFFFFFFULL;
+        r.cnt = u[2 * c + 1];
+        r.as_ = starts[c];
+        r.rev = (int64_t)(x0 >> 63);
+        r.rid = (int64_t)((x0 >> 32) & 0x7FFFFFFFULL);
+        r.rs = (int64_t)(x0 & 0xFFFFFFFFULL);
+        r.re = (int64_t)(ax[lasts[c]] & 0xFFFFFFFFULL) + 1;
+        r.qs = (int64_t)(ay[starts[c]] & 0xFFFFFFFFULL);
+        r.qe = (int64_t)(ay[lasts[c]] & 0xFFFFFFFFULL) + 1;
+        r.mlen = mlen[c];
+        r.blen = blen[c];
+        r.n_sub = 0; r.subsc = 0;
+        r.inv = 0; r.is_alt = 0; r.strand_retained = 0;
+    }
+
+    return rh_region_pipeline(
+        regs, mask_level, mask_len, hard_mask_level, alt_diff_frac,
+        do_select, pri_ratio, best_n, check_strand, min_strand_sc, out);
+}
+
+// Regions straight from the device tail's per-chain summaries
+// (chain/backtrack_device.py::compact_batch rows: score, cnt, key(u32),
+// tpos0, qpos0, tposL, qposL, mlen, blen, valid) — coordinates and fuzzy
+// lengths were already aggregated on-device, so this is gen_regs_from_
+// summaries + set_parent + select_sub fused (hit.c:10-367) without ever
+// touching per-anchor arrays.
+extern "C" int32_t rh_gen_regions_summ(
+    uint32_t read_hash, int32_t n_u, int32_t span,
+    const int32_t* summ,         // [n_u][10]
+    double mask_level, int32_t mask_len, int32_t hard_mask_level,
+    double alt_diff_frac,
+    int32_t do_select, double pri_ratio, int32_t best_n,
+    int32_t check_strand, int32_t min_strand_sc,
+    int64_t* out)
+{
+    if (n_u <= 0) return 0;
+    std::vector<int64_t> starts(n_u);
+    {
+        int64_t off = 0;
+        for (int32_t c = 0; c < n_u; ++c) {
+            starts[c] = off;
+            off += (int64_t)summ[10 * c + 1];
+        }
+    }
+    std::vector<uint64_t> zx(n_u);
+    for (int32_t c = 0; c < n_u; ++c) {
+        const int32_t* sr = summ + 10 * c;
+        uint64_t key = (uint64_t)(uint32_t)sr[2];
+        uint64_t rev = key >> 31, rid = key & 0x7FFFFFFFULL;
+        uint64_t ax0 = (rev << 63) | (rid << 32) | (uint64_t)(uint32_t)sr[3];
+        uint64_t ay0 = ((uint64_t)(uint32_t)span << 32) |
+                       (uint64_t)(uint32_t)sr[4];
+        uint64_t h = rh_hash64(
+            (rh_hash64(ax0) + rh_hash64(ay0)) ^ (uint64_t)read_hash) &
+            0xFFFFFFFFULL;
+        zx[c] = (((uint64_t)(uint32_t)sr[0] << 32) |
+                 (uint64_t)(uint32_t)sr[1]) ^ h;
+    }
+    std::vector<int32_t> order(n_u);
+    for (int32_t c = 0; c < n_u; ++c) order[c] = c;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) { return zx[a] < zx[b]; });
+    std::reverse(order.begin(), order.end());
+
+    std::vector<RhReg> regs(n_u);
+    for (int32_t i = 0; i < n_u; ++i) {
+        int32_t c = order[i];
+        const int32_t* sr = summ + 10 * c;
+        uint64_t key = (uint64_t)(uint32_t)sr[2];
+        RhReg& r = regs[i];
+        r.id = i;
+        r.parent = -1;
+        r.score = r.score0 = (int64_t)(zx[c] >> 32);
+        r.hash = zx[c] & 0xFFFFFFFFULL;
+        r.cnt = sr[1];
+        r.as_ = starts[c];
+        r.rev = (int64_t)(key >> 31);
+        r.rid = (int64_t)(key & 0x7FFFFFFFULL);
+        r.rs = sr[3];
+        r.re = (int64_t)sr[5] + 1;
+        r.qs = sr[4];
+        r.qe = (int64_t)sr[6] + 1;
+        r.mlen = sr[7];
+        r.blen = sr[8];
+        r.n_sub = 0; r.subsc = 0;
+        r.inv = 0; r.is_alt = 0; r.strand_retained = 0;
+    }
+    return rh_region_pipeline(
+        regs, mask_level, mask_len, hard_mask_level, alt_diff_frac,
+        do_select, pri_ratio, best_n, check_strand, min_strand_sc, out);
 }
 
 }  // extern "C"

@@ -13,6 +13,7 @@ Read Until), exactly like the reference's per-chunk break."""
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 
 import numpy as np
@@ -853,6 +854,7 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
     ncut = min(out.packed.shape[1], max(128, _pow2_up(nmax)))
     hp = np.asarray(out.packed[:, :ncut, :])[: rows.size]
     _acct_bytes(engine, "d2h_bytes", hp.nbytes)
+    _acct_bytes(engine, "d2h_quarantine", hp.nbytes)
     key, tpos, qpos, f, p = _decode_packed(engine, hp)
     # unresolved residue past the hard cap stays counted as overflow.
     # NOTE: quarantined rows feed _learned_need only up to the main
@@ -1058,12 +1060,15 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         offs = np.cumsum(n_u_rows) - n_u_rows
         hs = _FlatSummaries(flat, offs[:n_live], h_scal[:, 0])
         _acct_bytes(engine, "d2h_bytes", flat.nbytes + 4 * out.scalars.size)
+        _acct_bytes(engine, "d2h_summ", flat.nbytes)
     elif spec_k is not None and spec_k.shape[1] >= n_u_max:
         hs = np.asarray(spec_k)[:n_live]
         _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
+        _acct_bytes(engine, "d2h_summ", hs.nbytes)
     else:
         hs = np.asarray(out.summaries)[:n_live]
         _acct_bytes(engine, "d2h_bytes", hs.nbytes + 4 * out.scalars.size)
+        _acct_bytes(engine, "d2h_summ", hs.nbytes)
     # next chunk's speculative chain-count width (pow2 ladder; dense mode)
     kw = 64
     while kw < n_u_max:
@@ -1091,16 +1096,30 @@ def _process_chunk_tail(engine: MappingEngine, st: _BatchState) -> None:
         h = 0
         h ^= (wang_hash32(int(h_evoff[j])) + wang_hash32(11)) & 0xFFFFFFFF
         h = wang_hash32(h)
-        regs = gen_regs_from_summaries(h, hs[j], engine.span)
-        set_parent(
-            regs, mo.mask_level, mo.mask_len,
+        sj = hs[j][: int(h_scal[j, 0])]
+        # native fused pipeline prunes BEFORE building Python Region
+        # objects (a 100 Mbp chunk carries ~600k live chains; object
+        # construction alone cost seconds)
+        from .._native import gen_regions_summ_native
+
+        regs = gen_regions_summ_native(
+            h, sj, engine.span,
+            mo.mask_level, mo.mask_len,
             bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
+            not all_chains, mo.pri_ratio, mo.best_n, True,
+            int(mo.max_target_gap_length * 0.8),
         )
-        if not all_chains:
-            regs = select_sub(
-                regs, mo.pri_ratio, mo.best_n, True,
-                int(mo.max_target_gap_length * 0.8),
+        if regs is None:  # no native toolchain: python oracle path
+            regs = gen_regs_from_summaries(h, sj, engine.span)
+            set_parent(
+                regs, mo.mask_level, mo.mask_len,
+                bool(mo.flag & MapFlag.HARD_MLEVEL), mo.alt_drop,
             )
+            if not all_chains:
+                regs = select_sub(
+                    regs, mo.pri_ratio, mo.best_n, True,
+                    int(mo.max_target_gap_length * 0.8),
+                )
         st.last_regs[i] = regs
         set_mapq(regs, mo.min_chaining_score, int(h_rep[j]), False)
         ids, done = engine._decide(regs, False)
@@ -1306,6 +1325,38 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     if trace:
         print(f"[trace] scalars: {time.perf_counter()-t_wait:.3f}s",
               flush=True)
+    # EARLY tail switch (chunk 0 only, before the packed-anchor fetch):
+    # at 100 Mbp+ scale the very first chunk's host-tail fetch would move
+    # O(B x anchors) bytes (measured 755 MB once) just to learn what the
+    # scalars already say — the watermark is over the threshold.  Chunk 0
+    # has no carried anchors, so re-dispatching the SAME inputs through
+    # the device tail is exact (carry/ev_offset commit only afterwards).
+    if (
+        engine._tail_auto
+        and not st.tail
+        and st.chunk_idx == 0
+        and h_scal.size
+    ):
+        wm_rows = h_scal[:, 0] + h_scal[:, 4]
+        wm0 = int(np.quantile(wm_rows, 0.95))
+        if wm0 > engine.tail_switch_anchors:
+            with engine._stats_lock:
+                if wm0 > engine._learned_need:
+                    engine._learned_need = wm0
+                if not engine.device_tail:
+                    print(
+                        f"[rawhash-tpu] chunk-0 anchor watermark {wm0} > "
+                        f"{engine.tail_switch_anchors}: switching to the "
+                        "device-tail path before the anchor fetch",
+                        file=sys.stderr,
+                    )
+                    engine.device_tail = True
+            st.tail = True
+            st.pending = st.pending_slen = st.pending_inputs = None
+            st.pending_spec = None
+            _submit_chunk(engine, st)
+            _process_chunk_tail(engine, st)
+            return
     t_q = time.perf_counter()
     overrides = _quarantine_overflow(engine, st, sig_dev, pack, h_scal)
     if trace:
@@ -1371,6 +1422,7 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
     _acct_bytes(engine, "d2h_bytes", hp.nbytes + 4 * out.scalars.size)
+    _acct_bytes(engine, "d2h_packed", hp.nbytes)
     h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
     if is_dtw:
         h_events = np.asarray(out.events)[:n_live].astype(np.float32)
