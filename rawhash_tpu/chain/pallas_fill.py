@@ -187,14 +187,16 @@ def _fill_kernel(
         mii_qpos3 = jnp.where(adv, q_i, mii_qpos2)
         mii_f3 = jnp.where(adv, f_i, mii_f2)
 
-        # write anchor i into its ring slot and the outputs
+        # write anchor i into its ring slot and the outputs.  Masked
+        # full-ring writes, NOT dynamic-sublane stores: the [1, Bb] dynamic
+        # slice store serializes the loop body (measured ~21 us/step at
+        # W=64) while the [W, Bb] select is a handful of pipelined VPU ops
         slot = i % w
-        rk_ref[pl.ds(slot, 1), :] = jnp.where(alive, k_i, rk_ref[pl.ds(slot, 1), :])
-        rt_ref[pl.ds(slot, 1), :] = jnp.where(alive, t_i, rt_ref[pl.ds(slot, 1), :])
-        rq_ref[pl.ds(slot, 1), :] = jnp.where(alive, q_i, rq_ref[pl.ds(slot, 1), :])
-        rf_ref[pl.ds(slot, 1), :] = jnp.where(
-            alive, f_i, rf_ref[pl.ds(slot, 1), :]
-        )
+        in_slot = (slots == slot) & alive
+        rk_ref[:, :] = jnp.where(in_slot, k_i, r_key)
+        rt_ref[:, :] = jnp.where(in_slot, t_i, r_tpos)
+        rq_ref[:, :] = jnp.where(in_slot, q_i, r_qpos)
+        rf_ref[:, :] = jnp.where(in_slot, f_i, r_f)
         f_out_ref[pl.ds(i_local, 1), :] = jnp.where(alive, f_i, 0)
         p_out_ref[pl.ds(i_local, 1), :] = jnp.where(alive, max_j, -1)
         return (mii_idx3, mii_key3, mii_tpos3, mii_qpos3, mii_f3)
@@ -247,7 +249,10 @@ def chain_fill_pallas(
     # batch in lanes; anchors tiled over the (sequential) inner grid dim so
     # VMEM holds only one [n_blk, b_blk] tile per buffer while the ring and
     # max_ii carries persist in scratch across anchor tiles
-    b_blk = 128 if b >= 128 else b
+    # wider lane blocks amortize per-op issue overhead (the W=64 step's
+    # [W, b_blk] tiles are small enough that op count, not element count,
+    # bounds the step) — measured 0.78 G cells/s at b_blk=128/N=147k
+    b_blk = 256 if b >= 256 else (128 if b >= 128 else b)
     b_pad = ((b + b_blk - 1) // b_blk) * b_blk
     n_blk = min(n, 512)
     n_pad = ((n + n_blk - 1) // n_blk) * n_blk

@@ -199,8 +199,23 @@ class MappingEngine:
             _os.environ.get("RAWHASH_TPU_DEVICE_TAIL")
         )
         self._tail_auto = self._tail_eligible and not self.device_tail
-        self.tail_switch_anchors = int(
-            _os.environ.get("RAWHASH_TPU_TAIL_SWITCH_ANCHORS", "32768")
+        # Auto-switch threshold: the host tail's real cost is its packed
+        # D2H (B x pow2(watermark) x bytes/anchor over a ~16-20 MB/s link),
+        # so the watermark threshold derives from a BYTE budget.  Round-5
+        # A/Bs: ecoli widths (~8 KB/read fetch, 21 MB/chunk) now run 2-3x
+        # faster on the device tail (flat summaries + native regions),
+        # while viral widths (~2.6 MB/chunk) still favor the host tail —
+        # an 8 MB per-chunk fetch budget separates them cleanly.
+        # RAWHASH_TPU_TAIL_SWITCH_ANCHORS still overrides directly.
+        bpa = 2 * (self._key_words + 3)  # i16 words; wide batches cost 2x
+        budget = int(
+            _os.environ.get("RAWHASH_TPU_TAIL_SWITCH_BYTES", str(8 << 20))
+        )
+        anchors_env = _os.environ.get("RAWHASH_TPU_TAIL_SWITCH_ANCHORS")
+        self.tail_switch_anchors = (
+            int(anchors_env)
+            if anchors_env
+            else max(512, budget // (bpa * max(1, mopt.batch_reads)))
         )
 
     # ---------- helpers ----------
