@@ -498,7 +498,8 @@ def main():
         "cell_updates_per_s": viral["cell_updates_per_s"],
         "stage_profile_s": viral["stage_profile_s"],
     }
-    for k in ("reference_same_host_bps", "vs_reference_same_host"):
+    for k in ("reference_same_host_bps", "vs_reference_same_host",
+              "h2d_bytes", "d2h_bytes", "bytes_per_read", "regrows"):
         if k in viral:
             result[k] = viral[k]
     if ecoli:
