@@ -138,14 +138,20 @@ class ChunkOut(NamedTuple):
     packed: jnp.ndarray  # i16 [B, N, key_words+3] sorted anchors
     # per-read scalar block, one small transfer:
     #   0 n_anchors, 1 rep_len, 2 n_events, 3 processed, 4 hit_overflow,
-    #   5 ev_offset
-    scalars: jnp.ndarray  # i32 [B, 6]
+    #   5 ev_offset, 6 pack_overflow (anchors dropped from packed_flat
+    #   because total > flat_cap; replicated on every row; 0 dense mode)
+    scalars: jnp.ndarray  # i32 [B, 7]
     events: jnp.ndarray  # f16 [B, E] this chunk's events (for DTW)
     carry: NormCarry
     ev_offset: jnp.ndarray  # i32 [B] updated event offset (device-resident)
     # sharded engine only: per-device locally-owned seed-hit totals
     # (i32 [n_devices]) for work-balance observability; None single-device
     shard_hits: jnp.ndarray | None = None
+    # flat exact-count packed anchors ([flat_cap, words], rows packed
+    # back-to-back at cumsum(n_anchors) offsets) when the step ran with
+    # flat_cap > 0; `packed` is a placeholder then.  The host-tail fetch
+    # moves O(total anchors) bytes instead of B x pow2(max row width)
+    packed_flat: jnp.ndarray | None = None
 
 
 def decode_prev_pack(prev_pack: jnp.ndarray):
@@ -279,6 +285,7 @@ def finish_chunk(
     all_vs_all: bool, keep_events: bool,
     key_words: int, pos_bits: int,
     wide: bool = False,
+    flat_cap: int = 0,
     fill=None,
 ) -> "ChunkOut":
     """Back half of the chunk step, shared by the single-device and sharded
@@ -358,11 +365,31 @@ def finish_chunk(
         ],
         axis=2,
     )
+    packed_flat = None
+    pack_ovf = jnp.zeros_like(n_anchors)
+    if flat_cap:
+        # exact-count packing: rows back-to-back at cumsum(n_anchors)
+        # offsets; out-of-bounds (overflow) rows drop and are counted so
+        # the engine can regrow flat_cap and re-dispatch
+        wwords = packed.shape[2]
+        offs = jnp.cumsum(n_anchors) - n_anchors
+        slot = jnp.arange(packed.shape[1], dtype=jnp.int32)[None, :]
+        live = slot < n_anchors[:, None]
+        gpos = jnp.where(live, offs[:, None] + slot, flat_cap)
+        packed_flat = (
+            jnp.zeros((flat_cap, wwords), packed.dtype)
+            .at[gpos.reshape(-1)]
+            .set(packed.reshape(-1, wwords), mode="drop")
+        )
+        pack_ovf = jnp.broadcast_to(
+            jnp.maximum(jnp.sum(n_anchors) - flat_cap, 0), n_anchors.shape
+        )
+        packed = jnp.zeros((b, 1, wwords), packed.dtype)
     scalars = jnp.stack(
         [
             n_anchors, rep_len, n_ev,
             processed.astype(jnp.int32), overflow.astype(jnp.int32),
-            ev_offset2,
+            ev_offset2, pack_ovf,
         ],
         axis=1,
     ).astype(jnp.int32)
@@ -372,6 +399,7 @@ def finish_chunk(
         else jnp.zeros((b, 1), jnp.float16),
         carry=carry2,
         ev_offset=ev_offset2,
+        packed_flat=packed_flat,
     )
 
 
@@ -387,7 +415,7 @@ def finish_chunk(
         "max_dist_t", "max_dist_q", "bw", "max_iter",
         "chn_pen_gap", "chn_pen_skip",
         "all_vs_all", "keep_events",
-        "key_words", "pos_bits", "wide",
+        "key_words", "pos_bits", "wide", "flat_cap",
     ),
 )
 def chunk_step(
@@ -420,6 +448,7 @@ def chunk_step(
     # pos_bits = bits for tpos inside the combined value (key_words <= 2);
     # wide switches to the 5-word i32 layout (capacities >= 2^15)
     key_words: int = 4, pos_bits: int = 0, wide: bool = False,
+    flat_cap: int = 0,
 ) -> ChunkOut:
     span = k + e - 1
     sig = sig.astype(jnp.float32)  # accept f16 transfer payloads
@@ -462,6 +491,7 @@ def chunk_step(
         chn_pen_gap=chn_pen_gap, chn_pen_skip=chn_pen_skip,
         all_vs_all=all_vs_all, keep_events=keep_events,
         key_words=key_words, pos_bits=pos_bits, wide=wide,
+        flat_cap=flat_cap,
     )
 
 

@@ -169,6 +169,7 @@ class MappingEngine:
         # across batches here
         self._learned_kcap = 0
         self._learned_fk = 0  # flat chain-summary capacity (device tail)
+        self._learned_fp = 0  # flat packed-anchor capacity (host tail)
         self._learned_pcap = 0
         # device-tail mode: backtrack + compaction run on-device and only
         # per-chain summaries leave the device (O(chains) D2H instead of
@@ -216,6 +217,12 @@ class MappingEngine:
             int(anchors_env)
             if anchors_env
             else max(512, budget // (bpa * max(1, mopt.batch_reads)))
+        )
+        # host-tail packed anchors ride the flat exact-count buffer unless
+        # opted out; the dist program keeps the dense layout (its batch
+        # rows are sharded, a global flat offset space is not)
+        self._flat_pack = self.dist is None and not _os.environ.get(
+            "RAWHASH_TPU_DENSE_PACK"
         )
 
     # ---------- helpers ----------
@@ -506,7 +513,11 @@ class MappingEngine:
         else:
             dummy_cells = _cells_of(st.pending_inputs)
             # the packed-anchor slice fetch compiles its own small program
-            np.asarray(out.packed[:, : min(256, out.packed.shape[1]), :])
+            np.asarray(
+                out.packed_flat[:256]
+                if out.packed_flat is not None
+                else out.packed[:, : min(256, out.packed.shape[1]), :]
+            )
         # undo the work-accounting of the dummy dispatches (exact amounts, so
         # a warmup racing real batches does not erase their counts)
         with self._stats_lock:
@@ -622,6 +633,13 @@ class _BatchState:
             engine._learned_fk,
             1 << int(np.ceil(np.log2(max(64, 16 * self.disp_b)))),
         )
+        # flat packed-anchor capacity (host tail): exact-count D2H instead
+        # of B x pow2(max row width); learned, grown on pack_overflow
+        _fp_base = int(_os.environ.get("RAWHASH_TPU_FP_BASE", "0"))
+        self.fp_cap = _fp_base or max(
+            engine._learned_fp,
+            1 << int(np.ceil(np.log2(max(1024, 32 * self.disp_b)))),
+        )
         if self.tail and engine._learned_pcap > self.p_cap:
             self.p_cap = engine._learned_pcap
         # wide i32 packing whenever anchor indices or event offsets can
@@ -705,7 +723,7 @@ def _maybe_compact_frame(engine: MappingEngine, st: _BatchState) -> None:
 
 def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack,
                    *, a_cap=None, wide=None, carry=None, ev_offset=None,
-                   q_rank=None):
+                   q_rank=None, flat_cap=None):
     """Invoke the (single-device or sharded) chunk step with the batch's
     CURRENT capacities/packing.  The keyword overrides let the overflow
     quarantine re-dispatch a row SUBSET at a grown capacity (the sliced
@@ -737,6 +755,11 @@ def _dispatch_step(engine: MappingEngine, st: _BatchState, sig_dev, pack,
         keep_events=bool(mo.flag & MapFlag.DTW_EVALUATE_CHAINS),
         key_words=engine._key_words, pos_bits=engine._pos_bits,
         wide=wide,
+        flat_cap=(
+            flat_cap
+            if flat_cap is not None
+            else (st.fp_cap if engine._flat_pack else 0)
+        ),
     )
     # chaining-DP work accounting for the bench's cell-updates/s metric:
     # the fill kernel evaluates max_iter predecessor window scores for each
@@ -857,7 +880,7 @@ def _quarantine_overflow(engine: MappingEngine, st: _BatchState,
         wide_sub = st.wide or (sub_a + p_used >= (1 << 15))
         out = _dispatch_step(
             engine, st, sig_sub, pack_sub, a_cap=sub_a, wide=wide_sub,
-            carry=carry_sub, ev_offset=evo_sub, q_rank=qr_sub,
+            carry=carry_sub, ev_offset=evo_sub, q_rank=qr_sub, flat_cap=0,
         )
         scal = np.asarray(out.scalars)[: rows.size]
         need = int(scal[:, 4].max()) if scal.size else 0
@@ -1259,42 +1282,52 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
         out.scalars.copy_to_host_async()
     except Exception:
         pass
-    # straggler row-slicing: late chunks of a batch keep only a few reads
-    # alive, but a full-buffer fetch still moves b_dev * ncut * words bytes.
-    # When the live rows fit a {64,128,...} ladder step below b_dev, fetch
-    # packed[rows, :w] via a gather program (rows is a TRACED argument, so
-    # the ladder bounds the signature count).  DTW mode keeps the full
-    # fetch (its events buffer is full-frame anyway).
-    rows = np.nonzero(slen[:n_live] > 0)[0]  # dispatch-row indices
-    # ladder base 64 (env override exists so tests can exercise the sliced
-    # path on tiny CPU batches)
-    r_lad = int(_os.environ.get("RAWHASH_TPU_ROW_LADDER_BASE", "64"))
-    while r_lad < rows.size:
-        r_lad *= 2
     st.pending_rows = None
-    if (
-        engine.dist is None
-        and not (mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
-        and r_lad < st.disp_b
-    ):
-        st.pending_rows = rows
-        st.pending_rows_pad = np.zeros(r_lad, dtype=np.int32)
-        st.pending_rows_pad[: rows.size] = rows
     spec = None
-    spec_w = min(engine._spec_ncut, out.packed.shape[1])
-    if spec_w >= 128:
-        from .device_step import gather_rows_aot
-
-        if st.pending_rows is not None:
-            spec = gather_rows_aot(
-                out.packed, jnp.asarray(st.pending_rows_pad), ncut=spec_w
-            )
-        else:
-            spec = out.packed[:, :spec_w, :]
+    if out.packed_flat is not None:
+        # flat exact-count buffer: one async copy of the whole (laddered)
+        # buffer replaces the speculative-prefix + straggler row-gather
+        # machinery — it already scales with live rows AND live widths
         try:
-            spec.copy_to_host_async()
+            out.packed_flat.copy_to_host_async()
         except Exception:
             pass
+    else:
+        # straggler row-slicing: late chunks of a batch keep only a few
+        # reads alive, but a full-buffer fetch still moves b_dev * ncut *
+        # words bytes.  When the live rows fit a {64,128,...} ladder step
+        # below b_dev, fetch packed[rows, :w] via a gather program (rows is
+        # a TRACED argument, so the ladder bounds the signature count).
+        # DTW mode keeps the full fetch (its events buffer is full-frame
+        # anyway).
+        rows = np.nonzero(slen[:n_live] > 0)[0]  # dispatch-row indices
+        # ladder base 64 (env override exists so tests can exercise the
+        # sliced path on tiny CPU batches)
+        r_lad = int(_os.environ.get("RAWHASH_TPU_ROW_LADDER_BASE", "64"))
+        while r_lad < rows.size:
+            r_lad *= 2
+        if (
+            engine.dist is None
+            and not (mo.flag & MapFlag.DTW_EVALUATE_CHAINS)
+            and r_lad < st.disp_b
+        ):
+            st.pending_rows = rows
+            st.pending_rows_pad = np.zeros(r_lad, dtype=np.int32)
+            st.pending_rows_pad[: rows.size] = rows
+        spec_w = min(engine._spec_ncut, out.packed.shape[1])
+        if spec_w >= 128:
+            from .device_step import gather_rows_aot
+
+            if st.pending_rows is not None:
+                spec = gather_rows_aot(
+                    out.packed, jnp.asarray(st.pending_rows_pad), ncut=spec_w
+                )
+            else:
+                spec = out.packed[:, :spec_w, :]
+            try:
+                spec.copy_to_host_async()
+            except Exception:
+                pass
     st.pending_spec = spec
     st.pending = out
     st.pending_slen = slen
@@ -1372,6 +1405,28 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
             _submit_chunk(engine, st)
             _process_chunk_tail(engine, st)
             return
+    # flat packed-anchor overflow: total live anchors exceeded fp_cap, so
+    # some rows' anchors were dropped from the flat buffer — regrow (pow2)
+    # and re-dispatch the same inputs (carry commits only afterwards)
+    while (
+        out.packed_flat is not None
+        and h_scal.size
+        and h_scal.shape[1] > 6
+        and int(h_scal[:, 6].max()) > 0
+    ):
+        need_fp = int(h_scal[:, 6].max())
+        st.fp_cap = 1 << int(np.ceil(np.log2(st.fp_cap + need_fp)))
+        with engine._stats_lock:
+            engine.stats["anchor_regrows"] = (
+                engine.stats.get("anchor_regrows", 0) + 1
+            )
+        out = _dispatch_step(engine, st, sig_dev, pack)
+        h_scal = np.asarray(out.scalars)[:n_live]
+        spec = None
+    if out.packed_flat is not None:
+        with engine._stats_lock:
+            if st.fp_cap > engine._learned_fp:
+                engine._learned_fp = st.fp_cap
     t_q = time.perf_counter()
     overrides = _quarantine_overflow(engine, st, sig_dev, pack, h_scal)
     if trace:
@@ -1406,39 +1461,58 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # compiles+loads its own device program, and program LOADS stall
     # multi-second on the tunneled backend — the ladder caps the variant
     # count at log2(n)
-    ncut = min(ncols, max(128, _pow2_up(nmax)))
-    if spec is not None and spec.shape[1] >= ncut:
-        hp = np.asarray(spec)[:, :ncut, :]
-        if fetch_rows is None:
-            hp = hp[:n_live]
-    elif fetch_rows is not None:
-        import jax.numpy as jnp
-
-        from .device_step import gather_rows_aot
-
-        hp = np.asarray(
-            gather_rows_aot(out.packed, jnp.asarray(fetch_rows_pad), ncut=ncut)
-        )
+    fk_pl = None
+    if out.packed_flat is not None:
+        # exact-count flat fetch: O(total live anchors) bytes, no width
+        # ladder, no straggler gather (the buffer shrinks with live rows)
+        flat = np.asarray(out.packed_flat)
+        _acct_bytes(engine, "d2h_bytes", flat.nbytes + 4 * out.scalars.size)
+        _acct_bytes(engine, "d2h_packed", flat.nbytes)
+        n_all = np.asarray(out.scalars[:, 0])
+        foffs = np.cumsum(n_all) - n_all
+        fk_pl = _decode_packed(engine, flat[None, :, :])
+        fk_pl = tuple(p[0] for p in fk_pl)
+        pos_of = None
+        hp = None
+        ncut = 0
     else:
-        hp = np.asarray(out.packed[:, :ncut, :])[:n_live]
-    # packed-derived planes index by fetch position when row-sliced
-    pos_of = (
-        None if fetch_rows is None
-        else {int(r): j for j, r in enumerate(fetch_rows)}
-    )
+        ncut = min(ncols, max(128, _pow2_up(nmax)))
+        if spec is not None and spec.shape[1] >= ncut:
+            hp = np.asarray(spec)[:, :ncut, :]
+            if fetch_rows is None:
+                hp = hp[:n_live]
+        elif fetch_rows is not None:
+            import jax.numpy as jnp
+
+            from .device_step import gather_rows_aot
+
+            hp = np.asarray(
+                gather_rows_aot(out.packed, jnp.asarray(fetch_rows_pad), ncut=ncut)
+            )
+        else:
+            hp = np.asarray(out.packed[:, :ncut, :])[:n_live]
+        # packed-derived planes index by fetch position when row-sliced
+        pos_of = (
+            None if fetch_rows is None
+            else {int(r): j for j, r in enumerate(fetch_rows)}
+        )
     # next chunk's speculative width: this chunk's pow2 fetch width (chunk-
     # to-chunk widths are stable, so the prefix usually covers; when it
     # falls short the exact-width fallback costs one extra sync fetch).
     # NOT the next ladder step up: the speculative bytes ride a ~16 MB/s
     # tunnel, and doubling every prefetch costs more than the occasional
     # fallback.  (benign cross-batch race: plain int store)
-    engine._spec_ncut = min(ncols, ncut)
+    if fk_pl is None:
+        engine._spec_ncut = min(ncols, ncut)
+        _acct_bytes(engine, "d2h_bytes", hp.nbytes + 4 * out.scalars.size)
+        _acct_bytes(engine, "d2h_packed", hp.nbytes)
+        h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
+    else:
+        h_key = h_tpos = h_qpos = h_f = h_p = None
     if trace:
-        print(f"[trace] packed fetch ncut={ncut} spec={spec is not None}: "
+        print(f"[trace] packed fetch ncut={ncut} flat={fk_pl is not None} "
+              f"spec={spec is not None}: "
               f"{time.perf_counter()-t_q:.3f}s cumulative", flush=True)
-    _acct_bytes(engine, "d2h_bytes", hp.nbytes + 4 * out.scalars.size)
-    _acct_bytes(engine, "d2h_packed", hp.nbytes)
-    h_key, h_tpos, h_qpos, h_f, h_p = _decode_packed(engine, hp)
     if is_dtw:
         h_events = np.asarray(out.events)[:n_live].astype(np.float32)
         _acct_bytes(engine, "d2h_bytes", h_events.nbytes)
@@ -1467,6 +1541,14 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
         ov = overrides.get(j)
         if ov is not None:  # quarantined row: grown-capacity rerun results
             k_i, t_i, q_i, f_i, p_i, n_i = ov
+        elif fk_pl is not None:
+            o = int(foffs[j])
+            n_i = int(h_nanc[j])
+            k_i = fk_pl[0][o : o + n_i]
+            t_i = fk_pl[1][o : o + n_i]
+            q_i = fk_pl[2][o : o + n_i]
+            f_i = fk_pl[3][o : o + n_i]
+            p_i = fk_pl[4][o : o + n_i]
         else:
             hj = j if pos_of is None else pos_of[j]
             k_i, t_i, q_i, f_i, p_i, n_i = (

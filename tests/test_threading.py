@@ -257,3 +257,43 @@ def test_stress_pipeline_quarantine_20x(setup):
         assert stats["reads"] == sstats["reads"]
         assert stats["mapped"] == sstats["mapped"]
         assert stats["hit_overflow"] == sstats["hit_overflow"]
+
+
+def test_flat_pack_growth_and_dense_parity(monkeypatch):
+    """The flat exact-count packed-anchor path must (a) regrow on
+    pack_overflow and (b) match the dense fetch path record-for-record."""
+    import numpy as np
+
+    from rawhash_tpu.config import IndexOptions, MapOptions
+    from rawhash_tpu.index.build import build_index_from_sequences
+    from rawhash_tpu.io.signal_gen import simulate_reads
+    from rawhash_tpu.map.engine import MappingEngine
+    from rawhash_tpu.pore import synthetic_pore
+
+    rng = np.random.default_rng(41)
+    genome = "".join(rng.choice(list("ACGT"), size=14000))
+    pore = synthetic_pore(k=6)
+    index = build_index_from_sequences([("chr1", genome)], pore, IndexOptions())
+    reads = simulate_reads(genome, pore, n_reads=8, read_len=900, rng=rng)
+    batch = [(n, s) for n, s, _, _ in reads]
+
+    def run():
+        eng = MappingEngine(index, MapOptions())
+        out = eng.map_batch(list(batch))
+        return eng, [
+            (r.name, [(m.ref_id, m.frag_start, m.frag_len, m.mapq, m.rev,
+                       m.mapped) for m in r.records])
+            for r in out
+        ]
+
+    monkeypatch.setenv("RAWHASH_TPU_DENSE_PACK", "1")
+    _, dense = run()
+    monkeypatch.delenv("RAWHASH_TPU_DENSE_PACK")
+    _, flat = run()
+    assert flat == dense
+    # force a tiny flat cap: the first chunk must overflow, regrow and
+    # still produce identical records
+    monkeypatch.setenv("RAWHASH_TPU_FP_BASE", "64")
+    eng, grown = run()
+    assert grown == dense
+    assert eng.stats.get("anchor_regrows", 0) > 0
