@@ -156,6 +156,7 @@ class MappingEngine:
         # host tail, chain-summary rows for the device tail
         self._spec_ncut = 0
         self._spec_kcut = 0
+        self._spec_ftot = 0  # flat packed-anchor total (pow2 ladder)
         self._occ_cache = None  # position-weighted occupancy (mu, sigma)
         # observed per-chunk anchor watermark (hits + overflow), fed back
         # into _plan: the static occupancy model misestimates grossly at
@@ -218,11 +219,17 @@ class MappingEngine:
             if anchors_env
             else max(512, budget // (bpa * max(1, mopt.batch_reads)))
         )
-        # host-tail packed anchors ride the flat exact-count buffer unless
-        # opted out; the dist program keeps the dense layout (its batch
-        # rows are sharded, a global flat offset space is not)
-        self._flat_pack = self.dist is None and not _os.environ.get(
-            "RAWHASH_TPU_DENSE_PACK"
+        # host-tail flat exact-count packed fetch: OPT-IN.  A/Bs on the
+        # tunneled chip measured it SLOWER at viral widths (1.4-1.9 s vs
+        # 0.78-0.88 s passes) — the dense path's speculative prefix +
+        # straggler row-gather is already byte-tight there, and the widths
+        # where dense fetches explode auto-switch to the device tail's
+        # flat summaries instead.  Kept (tested, dense-parity-pinned) for
+        # hosts where program-load stalls don't exist.  The dist program
+        # keeps the dense layout either way (its batch rows are sharded,
+        # a global flat offset space is not).
+        self._flat_pack = self.dist is None and bool(
+            _os.environ.get("RAWHASH_TPU_FLAT_PACK")
         )
 
     # ---------- helpers ----------
@@ -1285,11 +1292,17 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     st.pending_rows = None
     spec = None
     if out.packed_flat is not None:
-        # flat exact-count buffer: one async copy of the whole (laddered)
-        # buffer replaces the speculative-prefix + straggler row-gather
-        # machinery — it already scales with live rows AND live widths
+        # speculative pow2 prefix sized by the last chunk's live total:
+        # fp_cap is a high-water ladder, but straggler chunks carry far
+        # fewer anchors — fetching the whole buffer every chunk gave back
+        # the exact-count win (measured 2x slower viral passes)
+        fcut = min(engine._spec_ftot, out.packed_flat.shape[0])
+        if 0 < fcut < out.packed_flat.shape[0]:
+            spec = out.packed_flat[:fcut]
+        else:
+            spec = out.packed_flat
         try:
-            out.packed_flat.copy_to_host_async()
+            spec.copy_to_host_async()
         except Exception:
             pass
     else:
@@ -1463,12 +1476,20 @@ def _process_chunk(engine: MappingEngine, st: _BatchState) -> None:
     # count at log2(n)
     fk_pl = None
     if out.packed_flat is not None:
-        # exact-count flat fetch: O(total live anchors) bytes, no width
-        # ladder, no straggler gather (the buffer shrinks with live rows)
-        flat = np.asarray(out.packed_flat)
+        # exact-count flat fetch: O(total live anchors) bytes.  Fetch a
+        # pow2 prefix covering this chunk's total (fp_cap is a high-water
+        # ladder); the speculative prefix from submit time usually already
+        # covers it
+        n_all = np.asarray(out.scalars[:, 0])
+        total = int(n_all.sum())
+        fcut = min(out.packed_flat.shape[0], max(1024, _pow2_up(total)))
+        if spec is not None and spec.ndim == 2 and spec.shape[0] >= total:
+            flat = np.asarray(spec)
+        else:
+            flat = np.asarray(out.packed_flat[:fcut])
+        engine._spec_ftot = fcut
         _acct_bytes(engine, "d2h_bytes", flat.nbytes + 4 * out.scalars.size)
         _acct_bytes(engine, "d2h_packed", flat.nbytes)
-        n_all = np.asarray(out.scalars[:, 0])
         foffs = np.cumsum(n_all) - n_all
         fk_pl = _decode_packed(engine, flat[None, :, :])
         fk_pl = tuple(p[0] for p in fk_pl)

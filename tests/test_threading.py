@@ -286,9 +286,8 @@ def test_flat_pack_growth_and_dense_parity(monkeypatch):
             for r in out
         ]
 
-    monkeypatch.setenv("RAWHASH_TPU_DENSE_PACK", "1")
     _, dense = run()
-    monkeypatch.delenv("RAWHASH_TPU_DENSE_PACK")
+    monkeypatch.setenv("RAWHASH_TPU_FLAT_PACK", "1")
     _, flat = run()
     assert flat == dense
     # force a tiny flat cap: the first chunk must overflow, regrow and
