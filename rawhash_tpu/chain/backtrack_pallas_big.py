@@ -239,21 +239,39 @@ def _kernel(
         ovf2 = jnp.where(accept & ~fits, ovf + 1, ovf)
         return n_v2, n_u2, ovf2
 
-    # --- outer candidate loop (lchain.c:127-158), descending score order
+    # --- outer candidate loop (lchain.c:127-158), descending score order.
+    # At 100k+ widths most candidates are already claimed by an earlier
+    # chain; burning one loop iteration per skip dominates the scan, so
+    # probe a short run of candidates per iteration and jump past the
+    # leading skips (identical to the sequential scan: a "skip" is exactly
+    # a candidate the sequential loop would have passed without touching
+    # any state, and the probe stops at the first non-skip)
     def body(carry):
         k, blk, n_v, n_u, ovf, _ = carry
         blk = refill(blk, k)
         zf_k = zread(zbuf_f, k)
         zi_k = zread(zbuf_i, k)
         stop = zf_k < min_sc
-        run = ~stop & (t_get(zi_k) == 0)
+        skip = ~stop & (t_get(zi_k) != 0)
+        blk_lo = blk * zb
+        lead = skip.astype(jnp.int32)
+        still = skip
+        for d in range(1, 4):
+            kd = k - d
+            ok_d = kd >= blk_lo  # stay inside the streamed block
+            kc = jnp.maximum(kd, blk_lo)
+            zf_d = zread(zbuf_f, kc)
+            zi_d = zread(zbuf_i, kc)
+            still = still & ok_d & (zf_d >= min_sc) & (t_get(zi_d) != 0)
+            lead = lead + still.astype(jnp.int32)
+        run = ~stop & (lead == 0)
         n_v, n_u, ovf = jax.lax.cond(
             run,
             lambda a: do_chain(zi_k, zf_k, *a),
             lambda a: a,
             (n_v, n_u, ovf),
         )
-        k2 = k - 1
+        k2 = k - jnp.maximum(lead, 1)
         return k2, blk, n_v, n_u, ovf, ~stop & (k2 >= 0)
 
     _, _, n_v, n_u, ovf, _ = jax.lax.while_loop(
