@@ -114,13 +114,14 @@ def _throughput_workload(
     print(f"# [{name}] warmup (compile + first batch): {t_warm:.2f}s "
           f"({warmup_detail})", file=sys.stderr)
 
-    # best of 3 timed passes: this is a 2-core host shared with other jobs,
-    # and a single pass can lose 30%+ to unrelated load; the best pass is
-    # the least-interfered measurement of the engine itself
+    # best of 5 timed passes: this is a 2-core host shared with other jobs
+    # behind a tunnel whose weather breathes 2-3x, and a single pass can
+    # lose 30%+ to unrelated load; the best pass is the least-interfered
+    # measurement of the engine itself (passes are ~1 s at viral scale)
     dt = float("inf")
     results = None
     cells_best = 0
-    for _pass in range(3):
+    for _pass in range(5):
         c0 = engine.stats.get("dp_cells", 0)
         t0 = time.time()
         results_pass = list(warm)
