@@ -292,3 +292,61 @@ def test_pallas_big_chain_overflow():
     out = backtrack_pallas_big(f, p, n_live, **kw, interpret=True)
     assert np.array_equal(np.asarray(ref[2]), np.asarray(out[2]))
     assert np.array_equal(np.asarray(ref[5]), np.asarray(out[5]))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chain_stats_compact_matches_compact_batch(seed):
+    """Kernel-emitted per-chain stats (mlen/blen/lo/hi) + the O(B*K)
+    compaction == compact_batch on the same backtrack outputs (summaries
+    AND the carried-anchor prefix)."""
+    import jax.numpy as jnp
+
+    from rawhash_tpu.chain.backtrack_device import backtrack_batch, compact_batch
+    from rawhash_tpu.chain.backtrack_pallas_big import (
+        backtrack_pallas_big, compact_from_chain_stats,
+    )
+    from rawhash_tpu.chain.device import chain_fill_batch as fill
+
+    rng = np.random.default_rng(seed)
+    b, n_cap = 3, 256
+    n_live = rng.integers(20, n_cap, size=b)
+    keys = np.zeros((b, n_cap), np.uint32)
+    tposs = np.zeros((b, n_cap), np.int32)
+    qposs = np.zeros((b, n_cap), np.int32)
+    for i in range(b):
+        keys[i], tposs[i], qposs[i] = _random_anchors(rng, int(n_live[i]), n_cap)
+    kj = jnp.asarray(keys)
+    tj = jnp.asarray(tposs)
+    qj = jnp.asarray(qposs)
+    na = jnp.asarray(n_live.astype(np.int32))
+    f, p = fill(
+        kj, tj, qj, na,
+        q_span=SPAN, max_dist_t=2500, max_dist_q=2500, bw=500, max_iter=64,
+        chn_pen_gap=0.104, chn_pen_skip=0.0,
+    )
+    kw = dict(min_cnt=2, min_sc=20, max_drop=500, k_cap=64)
+    p_out = 128
+
+    u_sc, u_cnt, n_u, v, n_v, ovf = backtrack_batch(f, p, na, **kw)
+    asc_ref, order_ref, summ_ref = compact_batch(
+        u_sc, u_cnt, n_u, v, n_v, kj, tj, qj, q_span=SPAN
+    )
+
+    out = backtrack_pallas_big(
+        f, p, na, tj, qj, **kw, q_span=SPAN, interpret=True
+    )
+    assert len(out) == 10
+    (u_sc2, u_cnt2, n_u2, v2, n_v2, ovf2, u_ml, u_bl, u_lo, u_hi) = out
+    assert np.array_equal(np.asarray(n_u), np.asarray(n_u2))
+    asc2, order2, summ2 = compact_from_chain_stats(
+        u_sc2, u_cnt2, u_ml, u_bl, u_lo, u_hi, n_u2, v2, n_v2,
+        kj, tj, qj, q_span=SPAN, p_out=p_out,
+    )
+    s_ref, s2 = np.asarray(summ_ref), np.asarray(summ2)
+    for i in range(b):
+        nu = int(np.asarray(n_u)[i])
+        assert np.array_equal(s_ref[i, :nu], s2[i, :nu]), (i, seed)
+        take = min(int(np.asarray(n_v)[i]), p_out)
+        assert np.array_equal(
+            np.asarray(asc_ref)[i, :take], np.asarray(asc2)[i, :take]
+        ), (i, seed)
