@@ -27,7 +27,9 @@ def newest_bench() -> str:
 
 
 def render(bench_path: str) -> str:
-    art = json.load(open(bench_path))
+    # artifacts may carry a second compact headline line (bench.py emits
+    # the full dict first, then a tail-capture-proof summary line)
+    art = json.loads(open(bench_path).readline())
     b = art.get("parsed", art)  # driver artifact wraps the JSON line
     name = os.path.basename(bench_path)
     lines = [
@@ -58,6 +60,9 @@ def render(bench_path: str) -> str:
     row("viral (D1-style 30 kb, `viral`)", b, "625,160 bp/s")
     if "ecoli_5mbp" in b:
         row("ecoli (D2-style 5 Mbp, `sensitive`)", b["ecoli_5mbp"], "65,996 bp/s")
+    if "gbp3_human" in b:
+        row("full human-scale (3 Gbp, 24 chrs, `fast -w 5`)", b["gbp3_human"],
+            "1,837 bp/s")
     if "gbp1_human_scale" in b:
         row("human-scale (1 Gbp, `fast -w 3`)", b["gbp1_human_scale"],
             "1,837 bp/s")
